@@ -302,24 +302,13 @@ def msv_score_quantized(prof, dsq: np.ndarray) -> float:
     the final score.  Gate decisions (F1, Viterbi-skip) must reproduce the
     quantized scores or hit sets drift (SURVEY.md §7 hard part 1).
     """
+    from .quantize import quantize_msv
     Mn = prof.M
     L = len(dsq)
-    scale_b = 3.0 / np.log(2.0)
-    base_b = 190
-    msc = np.maximum(prof.msc, NEGMASS)          # [Kp, M+1] nats
-    maxsc = float(msc[:, 1:].max())
-    bias_b = min(255, int(round(scale_b * maxsc)))
-    # biased emission costs: clip(round(-scale*msc)+bias, 0..255)
-    with np.errstate(invalid="ignore"):
-        cost = np.rint(-scale_b * msc[:, 1:])
-    cost = np.clip(cost + bias_b, 0, 255).astype(np.int32)   # [Kp, M]
-
-    def ub(sc_nats: float) -> int:
-        return min(255, int(round(-scale_b * sc_nats)))
-
-    tjb_b = ub(np.log(3.0 / (L + 3.0)))
-    tec_b = ub(np.log(0.5))
-    tbm_b = ub(np.log(2.0 / (Mn * (Mn + 1.0))))
+    q = quantize_msv(prof)
+    cost, bias_b, base_b, scale_b = q.cost, q.bias_b, q.base_b, q.scale_b
+    tjb_b = int(q.tjb_b(L))
+    tec_b, tbm_b = q.tec_b, q.tbm_b
 
     xJ = 0
     xB = max(0, base_b - tjb_b)

@@ -551,8 +551,15 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
             ends[b] = ends.get(b, 0) + 1
         m = len(members)
         # envelope: widest endpoints with marginal prob >= min_endpointp
-        env_a = min(a for a, c in starts.items() if c / m >= min_endpointp)
-        env_b = max(b for b, c in ends.items() if c / m >= min_endpointp)
+        sa = [a for a, c in starts.items() if c / m >= min_endpointp]
+        sb = [b for b, c in ends.items() if c / m >= min_endpointp]
+        if not sa:
+            sa = list(starts)
+        if not sb:
+            sb = list(ends)
+        env_a, env_b = min(sa), max(sb)
+        if env_b < env_a:
+            continue
         envs.append((env_a + i - 1, env_b + i - 1))
     if not envs:
         return [(i, j)], n2_region

@@ -196,6 +196,19 @@ class Pipeline:
         if P > self.F3 * F3_SLACK:
             return
         self.n_past_fwd += 1
+        self._finish_target(prof, prof_uni, sq, hits, fwd, nullsc)
+
+    def _finish_target(self, prof: Profile, prof_uni: Profile,
+                       sq: DigitalSequence, hits: TopHits,
+                       fwd: "ref.ParserResult", nullsc: float) -> None:
+        """Post-filter processing of one target: domain definition, null2
+        scoring, Hit construction (the tail of ``p7_Pipeline``).  Called by
+        both the sequential cascade and the batched engine."""
+        L = len(sq)
+        dsq = sq.sequence
+        bg = self.background
+        ev = prof.evparam.astype(np.float64)
+        fwdsc = fwd.score
 
         # 5. domain definition
         if self.do_reseeding:
