@@ -2,13 +2,27 @@
 
 A from-scratch reimplementation of the capability surface of
 `pyhmmer <https://github.com/althonos/pyhmmer>`_ (HMMER3) designed for
-TPU hardware: batched JAX/Pallas DP kernels, pjit/shard_map data
-parallelism over device meshes, and pure-Python bio I/O.
+TPU hardware: batched JAX DP kernels over [profiles x sequences],
+pjit/shard_map data parallelism over device meshes, and pure-Python
+bio I/O.  See SURVEY.md for the reference blueprint.
 """
 
 __version__ = "0.1.0"
 
 from . import easel
 from . import plan7
+from .hmmer import (
+    hmmsearch,
+    hmmscan,
+    phmmer,
+    nhmmer,
+    jackhmmer,
+    hmmalign,
+    hmmpress,
+)
 
-__all__ = ["easel", "plan7", "__version__"]
+__all__ = [
+    "easel", "plan7", "hmmer",
+    "hmmsearch", "hmmscan", "phmmer", "nhmmer", "jackhmmer",
+    "hmmalign", "hmmpress", "__version__",
+]

@@ -10,14 +10,13 @@ from .sequence import (
     DigitalSequenceBlock,
 )
 from .seqfile import SequenceFile
+from .msa import MSA, TextMSA, DigitalMSA
+from .msafile import MSAFile
+from .ssi import SSIReader, SSIWriter
 
 __all__ = [
-    "Alphabet",
-    "Sequence",
-    "TextSequence",
-    "DigitalSequence",
-    "SequenceBlock",
-    "TextSequenceBlock",
-    "DigitalSequenceBlock",
-    "SequenceFile",
+    "Alphabet", "Sequence", "TextSequence", "DigitalSequence",
+    "SequenceBlock", "TextSequenceBlock", "DigitalSequenceBlock",
+    "SequenceFile", "MSA", "TextMSA", "DigitalMSA", "MSAFile",
+    "SSIReader", "SSIWriter",
 ]

@@ -1,0 +1,235 @@
+"""MSA file parsing/writing: Stockholm/Pfam, aligned FASTA, A2M, Clustal,
+PSI-BLAST, Selex, Phylip.
+
+Mirrors ``pyhmmer.easel.MSAFile`` (reference ``src/pyhmmer/easel.pyx:
+6513-6957``; formats listed at ``easel.pyx:141-152``).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterator, List, Optional, Union
+
+from .alphabet import Alphabet
+from .msa import MSA, TextMSA, DigitalMSA
+from .seqfile import guess_alphabet_text
+
+__all__ = ["MSAFile", "write_stockholm", "write_afa"]
+
+
+def _parse_stockholm(text: str) -> Iterator[TextMSA]:
+    name = None
+    rows: dict = {}
+    order: List[str] = []
+    gc: dict = {}
+    gf: dict = {}
+    gs_weights: dict = {}
+    started = False
+    for line in text.splitlines():
+        if line.startswith("# STOCKHOLM"):
+            if started and order:
+                yield _finish_sto(order, rows, gc, gf, gs_weights)
+                rows, order, gc, gf, gs_weights = {}, [], {}, {}, {}
+            started = True
+        elif line.strip() == "//":
+            if order:
+                yield _finish_sto(order, rows, gc, gf, gs_weights)
+            rows, order, gc, gf, gs_weights = {}, [], {}, {}, {}
+        elif line.startswith("#=GC "):
+            parts = line.split(None, 2)
+            if len(parts) == 3:
+                gc[parts[1]] = gc.get(parts[1], "") + parts[2].strip()
+        elif line.startswith("#=GF "):
+            parts = line.split(None, 2)
+            if len(parts) == 3:
+                gf.setdefault(parts[1], parts[2].strip())
+        elif line.startswith("#=GS "):
+            parts = line.split()
+            if len(parts) >= 4 and parts[2] == "WT":
+                gs_weights[parts[1]] = float(parts[3])
+        elif line.startswith("#"):
+            continue
+        elif line.strip():
+            parts = line.split(None, 1)
+            if len(parts) == 2:
+                nm, seq = parts
+                if nm not in rows:
+                    order.append(nm)
+                    rows[nm] = ""
+                rows[nm] += "".join(seq.split())
+    if order:
+        yield _finish_sto(order, rows, gc, gf, gs_weights)
+
+
+def _finish_sto(order, rows, gc, gf, gs_weights) -> TextMSA:
+    msa = TextMSA()
+    msa.names = [n.encode() for n in order]
+    msa.rows = [rows[n] for n in order]
+    if "ID" in gf:
+        msa.name = gf["ID"].encode()
+    if "AC" in gf:
+        msa.accession = gf["AC"].encode()
+    if "DE" in gf:
+        msa.description = gf["DE"].encode()
+    if "AU" in gf:
+        msa.author = gf["AU"].encode()
+    if "RF" in gc:
+        msa.reference = gc["RF"].encode()
+    if "SS_cons" in gc:
+        msa.consensus_structure = gc["SS_cons"].encode()
+    if "MM" in gc:
+        msa.model_mask = gc["MM"].encode()
+    if gs_weights:
+        import numpy as np
+        msa.weights = np.array([gs_weights.get(n, 1.0) for n in order])
+    return msa
+
+
+def _parse_afa(text: str) -> Iterator[TextMSA]:
+    from .seqfile import _parse_fasta
+    seqs = list(_parse_fasta(text))
+    if seqs:
+        msa = TextMSA(sequences=seqs)
+        yield msa
+
+
+def _parse_clustal(text: str) -> Iterator[TextMSA]:
+    rows: dict = {}
+    order: List[str] = []
+    for line in text.splitlines():
+        s = line.strip()
+        if (not s or s.startswith("CLUSTAL") or s.startswith("MUSCLE")
+                or set(s) <= set(" .:*")):
+            continue
+        parts = line.split()
+        if len(parts) >= 2:
+            nm = parts[0]
+            if nm not in rows:
+                order.append(nm)
+                rows[nm] = ""
+            rows[nm] += parts[1]
+    if order:
+        msa = TextMSA()
+        msa.names = [n.encode() for n in order]
+        msa.rows = [rows[n] for n in order]
+        yield msa
+
+
+class MSAFile:
+    """Iterative reader over alignments in a file."""
+
+    _PARSERS = {
+        "stockholm": _parse_stockholm,
+        "pfam": _parse_stockholm,
+        "afa": _parse_afa,
+        "a2m": _parse_afa,
+        "clustal": _parse_clustal,
+        "clustallike": _parse_clustal,
+        "psiblast": _parse_clustal,
+        "selex": _parse_clustal,
+        "phylip": _parse_clustal,
+        "phylips": _parse_clustal,
+    }
+
+    def __init__(self, file: Union[str, os.PathLike, io.IOBase],
+                 format: Optional[str] = None, *, digital: bool = False,
+                 alphabet: Optional[Alphabet] = None):
+        if isinstance(file, (str, os.PathLike)):
+            with open(os.fspath(file), "r") as fh:
+                self._text = fh.read()
+            self.name = os.fspath(file)
+        else:
+            data = file.read()
+            if isinstance(data, bytes):
+                data = data.decode("ascii", errors="replace")
+            self._text = data
+            self.name = getattr(file, "name", None)
+        self.format = (format or self._guess()).lower()
+        if self.format not in self._PARSERS:
+            raise ValueError(f"unsupported MSA format: {self.format!r}")
+        self.digital = digital
+        self.alphabet = alphabet
+        self._iter = self._PARSERS[self.format](self._text)
+        self._closed = False
+        if digital and alphabet is None:
+            self.alphabet = self.guess_alphabet()
+
+    def _guess(self) -> str:
+        for line in self._text.splitlines():
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith("# STOCKHOLM"):
+                return "stockholm"
+            if s.startswith(">"):
+                return "afa"
+            if s.startswith("CLUSTAL") or s.startswith("MUSCLE"):
+                return "clustal"
+            break
+        raise ValueError("could not determine MSA file format")
+
+    def guess_alphabet(self) -> Optional[Alphabet]:
+        for parser_msa in self._PARSERS[self.format](self._text):
+            for row in parser_msa.rows:
+                return guess_alphabet_text(
+                    "".join(c for c in row if c.isalpha()))
+        return None
+
+    def read(self):
+        try:
+            msa = next(self._iter)
+        except StopIteration:
+            return None
+        if self.digital:
+            return msa.digitize(self.alphabet)
+        return msa
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        msa = self.read()
+        if msa is None:
+            raise StopIteration
+        return msa
+
+    def close(self):
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_stockholm(msa, fh) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    w = fh.write
+    w("# STOCKHOLM 1.0\n")
+    if text.name:
+        w(f"#=GF ID {text.name.decode()}\n")
+    if text.accession:
+        w(f"#=GF AC {text.accession.decode()}\n")
+    namew = max((len(n) for n in text.names), default=10)
+    namew = max(namew, len("#=GC SS_cons"))
+    for n, row in zip(text.names, text.rows):
+        w(f"{n.decode():<{namew}s} {row}\n")
+    if text.reference:
+        w(f"{'#=GC RF':<{namew}s} {text.reference.decode()}\n")
+    if text.consensus_structure:
+        w(f"{'#=GC SS_cons':<{namew}s} {text.consensus_structure.decode()}\n")
+    w("//\n")
+
+
+def write_afa(msa, fh) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    for n, row in zip(text.names, text.rows):
+        fh.write(f">{n.decode()}\n")
+        for i in range(0, len(row), 60):
+            fh.write(row[i:i + 60] + "\n")

@@ -141,9 +141,15 @@ class SearchEngine:
             profs.append(prof)
             profs_uni.append(prof_uni)
 
-        pb = B.ProfileBatch(profs, Mp=Mp)
-        P = len(chunk)
-        ev = np.stack([p.evparam.astype(np.float64) for p in profs])  # [P,6]
+        # pad the profile stack up a small ladder so kernel P-shapes are
+        # shared across chunks (bounds XLA compilation count)
+        Preal = len(chunk)
+        Ppad = 1
+        while Ppad < Preal:
+            Ppad *= 2
+        profs_padded = profs + [profs[0]] * (Ppad - Preal)
+        pb = B.ProfileBatch(profs_padded, Mp=Mp)
+        ev = np.stack([p.evparam.astype(np.float64) for p in profs])  # [Preal,6]
 
         tophits = []
         for pi, qi in enumerate(chunk):
@@ -165,7 +171,7 @@ class SearchEngine:
             nullsc = L * np.log(L / (L + 1.0)) + np.log(1.0 / (L + 1.0))  # [B]
 
             # stage 1: quantized MSV, all pairs
-            usc = B.msv_scores(pb, codes, lengths)                  # [P, B]
+            usc = B.msv_scores(pb, codes, lengths)[:Preal]          # [P, B]
             P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
                              ev[:, 0:1], ev[:, 1:2])
             pass1 = ((P1 <= np.array([pli.F1 for pli in pipelines])[:, None])
@@ -174,7 +180,7 @@ class SearchEngine:
                 continue
 
             # stage 2: bias filter for sequences that passed MSV anywhere
-            filtersc = B.bias_filter_scores(pb, codes, lengths)     # [P, B]
+            filtersc = B.bias_filter_scores(pb, codes, lengths)[:Preal]
             P1b = gumbel_surv((usc - filtersc) / LOG2,
                               ev[:, 0:1], ev[:, 1:2])
             pass2 = pass1 & (P1b <= np.array(
@@ -191,7 +197,7 @@ class SearchEngine:
             pass3 = pass2 & ~need_vit
             if need_vit.any():
                 bsel = np.where(need_vit.any(axis=0))[0]
-                vsc = B.viterbi_scores(pb, codes[bsel], lengths[bsel])
+                vsc = B.viterbi_scores(pb, codes[bsel], lengths[bsel])[:Preal]
                 P2 = gumbel_surv((vsc - filtersc[:, bsel]) / LOG2,
                                  ev[:, 2:3], ev[:, 3:4])
                 ok = need_vit[:, bsel] & (P2 <= F2)
@@ -204,7 +210,7 @@ class SearchEngine:
             # stage 4: Forward (batched f32 for gating)
             F3 = np.array([pli.F3 for pli in pipelines])[:, None]
             bsel = np.where(pass3.any(axis=0))[0]
-            fsc = B.forward_scores(pb, codes[bsel], lengths[bsel])
+            fsc = B.forward_scores(pb, codes[bsel], lengths[bsel])[:Preal]
             P3 = exp_surv((fsc - filtersc[:, bsel]) / LOG2,
                           ev[:, 4:5], ev[:, 5:6])
             pass4 = pass3[:, bsel] & (P3 <= F3 * F3_SLACK)

@@ -1,0 +1,255 @@
+"""Application layer: the HMMER tool suite as Python functions.
+
+Mirrors ``pyhmmer.hmmer`` (reference ``src/pyhmmer/hmmer/``):
+``hmmsearch``, ``hmmscan``, ``phmmer``, ``jackhmmer``, ``hmmalign``,
+``hmmpress`` (``nhmmer`` pending the long-targets pipeline).
+
+TPU-first note: where the reference dispatches one query per CPU thread
+(``hmmer/_base.py:344-495``), these functions hand the whole query set to
+the batched :class:`~pyhmmer_tpu.engine.SearchEngine`, which stacks
+profiles and target buckets into device kernels.  The ``cpus`` argument
+is accepted for API compatibility and ignored (device parallelism is
+controlled by the engine / sharding configuration).
+"""
+
+from __future__ import annotations
+
+import os
+import typing
+from typing import Iterable, Iterator, Optional, Union
+
+from ..easel.alphabet import Alphabet
+from ..easel.sequence import DigitalSequence, DigitalSequenceBlock
+from ..easel.msa import DigitalMSA
+from ..easel.seqfile import SequenceFile
+from ..plan7.hmm import HMM
+from ..plan7.hmmfile import HMMFile, write_hmm_binary
+from ..plan7.background import Background
+from ..plan7.builder import Builder
+from ..plan7.pipeline import Pipeline
+from ..plan7.results import TopHits
+from ..plan7.optimized import (OptimizedProfile, OptimizedProfileBlock,
+                               HMMPressedFile)
+from ..plan7.iteration import IterationResult
+from ..plan7.tracealign import TraceAligner
+
+__all__ = ["hmmsearch", "hmmscan", "phmmer", "jackhmmer", "hmmalign",
+           "hmmpress", "nhmmer"]
+
+
+def _target_block(sequences, alphabet: Optional[Alphabet] = None
+                  ) -> DigitalSequenceBlock:
+    if isinstance(sequences, DigitalSequenceBlock):
+        return sequences
+    if isinstance(sequences, SequenceFile):
+        if not sequences.digital:
+            raise ValueError("expected digital mode SequenceFile")
+        return sequences.read_block()
+    seqs = list(sequences)
+    if not seqs:
+        raise ValueError("no target sequences")
+    return DigitalSequenceBlock(seqs[0].alphabet, seqs)
+
+
+def _query_list(queries):
+    if isinstance(queries, (HMM,)):
+        return [queries]
+    if isinstance(queries, HMMFile):
+        return list(queries)
+    return list(queries)
+
+
+def hmmsearch(queries, sequences, *, cpus: int = 0, callback=None,
+              backend: str = "tpu", **options) -> Iterator[TopHits]:
+    """Search HMM profile(s) against a sequence database
+    (``pyhmmer.hmmsearch``, reference ``hmmer/_hmmsearch.py:294-436``).
+
+    Yields one :class:`TopHits` per query, in query order.
+    """
+    queries = _query_list(queries)
+    if not queries:
+        return iter(())
+    block = _target_block(sequences)
+    alphabet = queries[0].alphabet
+    if backend == "oracle":
+        def gen():
+            for q in queries:
+                pli = Pipeline(alphabet, **options)
+                th = pli.search_hmm(q, block)
+                if callback is not None:
+                    callback(q, len(queries))
+                yield th
+        return gen()
+    from ..engine import SearchEngine
+    eng = SearchEngine(alphabet, **options)
+    results = eng.search(queries, block, callback=callback)
+    return iter(results)
+
+
+def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
+            background=None, **options) -> Iterator[TopHits]:
+    """Scan sequence(s) against a profile database
+    (``pyhmmer.hmmscan``, reference ``hmmer/_hmmscan.py:91-230``).
+
+    E-values use Z = number of profiles (``plan7.pyx:5211-5215``).
+    """
+    if isinstance(queries, DigitalSequence):
+        queries = [queries]
+    queries = list(queries)
+    # normalize profile inputs to HMMs
+    hmms = []
+    for p in profiles:
+        if isinstance(p, HMM):
+            hmms.append(p)
+        elif isinstance(p, OptimizedProfile):
+            raise TypeError(
+                "pass HMMs or an HMMPressedFile; optimized profiles carry "
+                "no core model")
+        else:
+            hmms.append(p)
+    if not queries:
+        return iter(())
+    alphabet = queries[0].alphabet
+
+    def gen():
+        for q in queries:
+            pli = Pipeline(alphabet, background, **options)
+            th = pli.scan_seq(q, hmms)
+            if callback is not None:
+                callback(q, len(queries))
+            yield th
+    return gen()
+
+
+def phmmer(queries, sequences, *, cpus: int = 0, callback=None,
+           builder: Optional[Builder] = None, **options
+           ) -> Iterator[TopHits]:
+    """Search query sequence(s) against a sequence database
+    (``pyhmmer.phmmer``, reference ``hmmer/_phmmer.py:106-202``)."""
+    if isinstance(queries, (DigitalSequence, DigitalMSA)):
+        queries = [queries]
+    queries = list(queries)
+    if not queries:
+        return iter(())
+    alphabet = queries[0].alphabet
+    block = _target_block(sequences)
+    bg = Background(alphabet)
+    bld = builder or Builder(alphabet)
+    hmms = []
+    for q in queries:
+        if isinstance(q, DigitalMSA):
+            hmm, _, _ = bld.copy().build_msa(q, bg)
+        else:
+            hmm, _, _ = bld.copy().build(q, bg)
+        hmms.append(hmm)
+    from ..engine import SearchEngine
+    eng = SearchEngine(alphabet, **options)
+    return iter(eng.search(hmms, block, callback=callback))
+
+
+def jackhmmer(queries, sequences, *, max_iterations: int = 5,
+              select_hits=None, checkpoints: bool = False,
+              cpus: int = 0, callback=None,
+              builder: Optional[Builder] = None, **options):
+    """Iterative profile search (``pyhmmer.jackhmmer``, reference
+    ``hmmer/_jackhmmer.py:268-399``).  Default inclusion thresholds
+    incE = incdomE = 0.001; ``hand`` architecture builder."""
+    if isinstance(queries, DigitalSequence):
+        queries = [queries]
+    queries = list(queries)
+    if not queries:
+        return iter(())
+    alphabet = queries[0].alphabet
+    block = _target_block(sequences)
+    options.setdefault("incE", 0.001)
+    options.setdefault("incdomE", 0.001)
+    bld = builder or Builder(alphabet, architecture="hand")
+
+    def run_one(q):
+        pli = Pipeline(alphabet, **options)
+        search = pli.iterate_seq(q, block, builder=bld.copy(),
+                                 select_hits=select_hits)
+        results = []
+        last = None
+        for _ in range(max_iterations):
+            try:
+                last = next(search)
+            except StopIteration:
+                break
+            results.append(last)
+            if last.converged:
+                break
+        return results if checkpoints else last
+
+    def gen():
+        for q in queries:
+            out = run_one(q)
+            if callback is not None:
+                callback(q, len(queries))
+            yield out
+    return gen()
+
+
+def hmmalign(hmm: HMM, sequences, *, trim: bool = False,
+             digitize: bool = False, all_consensus_cols: bool = True,
+             cpus: int = 0):
+    """Align sequences to an HMM (``pyhmmer.hmmalign``, reference
+    ``hmmer/_hmmalign.py:27-102``)."""
+    seqs = list(sequences)
+    aligner = TraceAligner()
+    traces = aligner.compute_traces(hmm, seqs)
+    return aligner.align_traces(hmm, seqs, traces, trim=trim,
+                                digitize=digitize,
+                                all_consensus_cols=all_consensus_cols)
+
+
+def hmmpress(hmms, output: Union[str, os.PathLike]) -> int:
+    """Press HMMs into a database (``pyhmmer.hmmpress``, reference
+    ``hmmer/_hmmpress.py:10-70``): writes ``.h3m`` (binary models,
+    byte-compatible), ``.h3i`` (SSI index by name, aliased by accession),
+    and ``.h3f``/``.h3p`` companions.
+
+    The ``.h3f``/``.h3p`` members hold this engine's own compact filter
+    tensors rather than the reference's striped SIMD bands (which are
+    hardware-layout-specific); ``.h3m`` carries the complete model, so
+    interoperability with the reference is via ``.h3m``.
+    """
+    from ..easel.ssi import SSIWriter
+    import struct as _struct
+    from ..ops.quantize import quantize_msv
+    from ..plan7.profile import Profile
+
+    base = os.fspath(output)
+    n = 0
+    with open(base + ".h3m", "wb") as fm, \
+         open(base + ".h3f", "wb") as ff, \
+         open(base + ".h3p", "wb") as fp, \
+         SSIWriter(base + ".h3i") as ssi:
+        fd = ssi.add_file(os.path.basename(base) + ".h3m")
+        for hmm in hmms:
+            moff = fm.tell()
+            foff = ff.tell()
+            poff = fp.tell()
+            write_hmm_binary(hmm, fm)
+            bg = Background(hmm.alphabet)
+            prof = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, 400)
+            q = quantize_msv(prof)
+            ff.write(_struct.pack("<III", 0x70F11E0F, hmm.M,
+                                  hmm.alphabet.Kp))
+            ff.write(q.cost.astype("<u1").tobytes())
+            fp.write(_struct.pack("<II", 0x70F11E1F, hmm.M))
+            ssi.add_key(hmm.name, fd, moff, foff, hmm.M)
+            if hmm.accession:
+                ssi.add_alias(hmm.accession, hmm.name)
+            n += 1
+    return n
+
+
+def nhmmer(queries, sequences, *, cpus: int = 0, callback=None, **options):
+    """DNA search with the long-targets pipeline (``pyhmmer.nhmmer``).
+
+    Not implemented yet: requires LongTargetsPipeline (windowed scan of
+    arbitrarily long DNA targets, SURVEY.md §3.4).
+    """
+    raise NotImplementedError(
+        "nhmmer requires the LongTargetsPipeline (planned; see SURVEY.md)")

@@ -25,6 +25,18 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the scan kernels are slow to compile, and
+# bench/test processes otherwise pay full recompiles every run
+try:
+    import os as _os
+    _cache = _os.environ.get("PYHMMER_TPU_XLA_CACHE",
+                             _os.path.expanduser("~/.cache/pyhmmer_tpu_xla"))
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
+
 from .quantize import quantize_msv, MSVQuant
 
 NEGMASS = -1e30

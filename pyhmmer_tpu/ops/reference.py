@@ -161,6 +161,26 @@ def forward(prof, dsq: np.ndarray, keep_matrix: bool = False):
     return ParserResult(score, xN, xB, xE, xC, xJ)
 
 
+def _dd_chain_logsum_rev(src_row: np.ndarray, tDD: np.ndarray) -> np.ndarray:
+    """Reversed log-space DD prefix scan for Backward.
+
+    ``src_row[j]`` is the value entering the chain at state j (E exit or
+    M-entry at j+1); returns ``D[k] = LSE_{j>=k}(src[j] +
+    sum_{m=k}^{j-1} tDD[m])`` for k = 1..M.  O(M) via cumulative
+    logaddexp on ``src[j] + c[j]`` scanned right-to-left, where
+    ``c[k] = sum tDD[1..k-1]``.
+    """
+    M = len(tDD)
+    c = np.zeros(M + 1)
+    c[2:] = np.cumsum(tDD[1:M])
+    a = np.full(M + 1, NEGMASS)
+    a[1:] = src_row[1:] + c[1:]
+    acc = np.logaddexp.accumulate(a[::-1])[::-1]   # acc[k] = LSE(a[k..M])
+    D = np.full(M + 1, NEGMASS)
+    D[1:] = np.maximum(acc[1:] - c[1:], NEGMASS)
+    return D
+
+
 def backward(prof, dsq: np.ndarray, keep_matrix: bool = False):
     """Backward algorithm (``p7_BackwardParser`` / ``p7_GBackward``)."""
     Mn, L, msc, isc, tr, x = _prep(prof, dsq)
@@ -175,13 +195,11 @@ def backward(prof, dsq: np.ndarray, keep_matrix: bool = False):
     # init row L
     xC[L] = x["C"][1]
     xE[L] = xC[L] + x["E"][1]
-    mrow = np.full(Mn + 1, NEGMASS)
     irow = np.full(Mn + 1, NEGMASS)
-    drow = np.full(Mn + 1, NEGMASS)
     # D(L,k): exits to E directly (all k, local mode) or down the DD chain
-    drow[Mn] = xE[L]
-    for k in range(Mn - 1, 0, -1):
-        drow[k] = np.logaddexp(xE[L], drow[k + 1] + tr["DD"][k])
+    src = np.full(Mn + 1, xE[L])
+    drow = _dd_chain_logsum_rev(src, tr["DD"])
+    mrow = np.full(Mn + 1, NEGMASS)
     mrow[1:] = xE[L]
     mrow[1:Mn] = np.logaddexp(mrow[1:Mn], drow[2:] + tr["MD"][1:])
     if keep_matrix:
@@ -198,23 +216,19 @@ def backward(prof, dsq: np.ndarray, keep_matrix: bool = False):
         xN[i] = np.logaddexp(xN[i + 1] + x["N"][0], xB[i] + x["N"][1])
         xE[i] = np.logaddexp(xJ[i] + x["E"][0], xC[i] + x["E"][1])
 
-        new_m = np.full(Mn + 1, NEGMASS)
         new_i = np.full(Mn + 1, NEGMASS)
-        new_d = np.full(Mn + 1, NEGMASS)
         # I(i,k) = M(i+1,k+1)+tIM[k]+ms[k+1]  |  I(i+1,k)+tII[k]+isc[k]
         new_i[1:Mn] = np.logaddexp(
             mrow[2:] + tr["IM"][1:] + ms[2:],
             irow[1:Mn] + tr["II"][1:Mn] + iscore[1:Mn],
         )
-        # D chain: D(i,k) = M(i+1,k+1)+tDM[k]+ms[k+1] | D(i,k+1)+tDD[k] | E exit
-        new_d[Mn] = xE[i]
-        for k in range(Mn - 1, 0, -1):
-            new_d[k] = _lse(
-                np.array(xE[i]),
-                np.array(mrow[k + 1] + tr["DM"][k] + ms[k + 1]),
-                np.array(new_d[k + 1] + tr["DD"][k]),
-            )
+        # D chain sources: E exit at any k, or M-entry M(i+1,j+1)+tDM[j]
+        src = np.full(Mn + 1, xE[i])
+        src[1:Mn] = np.logaddexp(src[1:Mn],
+                                 mrow[2:] + tr["DM"][1:] + ms[2:])
+        new_d = _dd_chain_logsum_rev(src, tr["DD"])
         # M(i,k) = M(i+1,k+1)+tMM | I(i+1,k)+tMI+isc | D(i,k+1)+tMD | E
+        new_m = np.full(Mn + 1, NEGMASS)
         new_m[1:] = xE[i]
         new_m[1:Mn] = _lse(
             new_m[1:Mn],

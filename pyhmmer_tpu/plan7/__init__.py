@@ -2,5 +2,18 @@
 
 from .hmm import HMM, Transitions
 from .hmmfile import HMMFile
+from .background import Background
+from .profile import Profile
+from .builder import Builder
+from .pipeline import Pipeline
+from .results import TopHits, Hit, Domain, Alignment
+from .optimized import OptimizedProfile, OptimizedProfileBlock, HMMPressedFile
+from .iteration import IterativeSearch, IterationResult
+from .tracealign import TraceAligner, Trace, Traces
 
-__all__ = ["HMM", "HMMFile", "Transitions"]
+__all__ = [
+    "HMM", "HMMFile", "Transitions", "Background", "Profile", "Builder",
+    "Pipeline", "TopHits", "Hit", "Domain", "Alignment",
+    "OptimizedProfile", "OptimizedProfileBlock", "HMMPressedFile",
+    "IterativeSearch", "IterationResult", "TraceAligner", "Trace", "Traces",
+]

@@ -150,8 +150,9 @@ def oa_traceback(prof, pp: dict, dp: dict, L: int) -> Trace:
                 state = "E"
                 tr.append("E")
         elif state == "E":
-            # E reached from best M(i,k) or D(i,M)
-            if close(xE[i], Dx[i, Mn]) and Dx[i, Mn] > Mx[i, 1:].max() - 1e-12:
+            # E reached from best M(i,k) or D(i,M); ties prefer M so the
+            # alignment does not grow a mute all-delete tail
+            if close(xE[i], Dx[i, Mn]) and Dx[i, Mn] > Mx[i, 1:].max() + 1e-9:
                 state, k = "D", Mn
                 tr.append("D", Mn, 0, 0.0)
             else:
@@ -477,12 +478,12 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
     # each sampled domain contributes its own uniform-usage null2 over its
     # span (p7_Null2_ByTrace per domain, averaged over samples)
     n2acc = np.zeros(Ld + 2)
-    for s_idx in range(nsamples):
-        usage: dict = {"spans": []}
-        for (a, b) in _stochastic_trace(prof, fwd, window, rng, usage=usage):
+    from .ensemble import sample_traces
+    all_spans = sample_traces(prof, fwd, window, rng, nsamples)
+    for s_idx, sample in enumerate(all_spans):
+        for (a, b, uM, uI) in sample:
             spans.append((a, b))
             span_sample.append(s_idx)
-        for (a, b, uM, uI) in usage["spans"]:
             tot = uM.sum() + uI.sum()
             if tot == 0:
                 continue

@@ -1,0 +1,204 @@
+"""Optimized (quantized) profiles and pressed profile databases.
+
+Mirrors ``pyhmmer.plan7.OptimizedProfile`` / ``HMMPressedFile`` /
+``OptimizedProfileBlock`` (reference ``src/pyhmmer/plan7.pyx:4183-5123``).
+
+TPU-first note: the reference's ``P7_OPROFILE`` holds Farrar-striped SIMD
+bands; our device layout is the plain ``[Kp, M]`` cost/score tensors from
+:mod:`pyhmmer_tpu.ops.quantize` (striping is replaced by the batch
+dimension).  A pressed database's ``.h3m`` member carries the full model,
+so scanning pressed DBs reconstructs optimized profiles from it directly;
+the ``.h3f``/``.h3p`` members are written for directory compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import numpy as np
+from typing import Iterator, List, Optional
+
+from ..easel.alphabet import Alphabet
+from .hmm import HMM
+from .background import Background
+from .profile import Profile
+from ..ops.quantize import quantize_msv, MSVQuant
+from ..ops import reference as refops
+
+__all__ = ["OptimizedProfile", "OptimizedProfileBlock", "HMMPressedFile"]
+
+
+class OptimizedProfile:
+    """A quantized search profile (``P7_OPROFILE`` equivalent)."""
+
+    def __init__(self, profile: Profile, quant: Optional[MSVQuant] = None):
+        self._profile = profile
+        self.quant = quant or quantize_msv(profile)
+        self.offsets = (-1, -1, -1)
+
+    @classmethod
+    def convert(cls, profile: Profile) -> "OptimizedProfile":
+        return cls(profile)
+
+    # --- delegated metadata -------------------------------------------------
+
+    @property
+    def M(self) -> int:
+        return self._profile.M
+
+    @property
+    def L(self) -> int:
+        return self._profile.L
+
+    @property
+    def name(self) -> bytes:
+        return self._profile.name
+
+    @property
+    def accession(self):
+        return self._profile.accession
+
+    @property
+    def description(self):
+        return self._profile.description
+
+    @property
+    def alphabet(self) -> Alphabet:
+        return self._profile.alphabet
+
+    @property
+    def evparam(self):
+        return self._profile.evparam
+
+    @property
+    def cutoffs(self):
+        return self._profile.cutoffs
+
+    @property
+    def consensus(self):
+        return self._profile.consensus
+
+    @property
+    def profile(self) -> Profile:
+        return self._profile
+
+    @property
+    def bias(self) -> int:
+        return self.quant.bias_b
+
+    @property
+    def base(self) -> int:
+        return self.quant.base_b
+
+    @property
+    def scale_b(self) -> float:
+        return self.quant.scale_b
+
+    @property
+    def rbv(self) -> np.ndarray:
+        """uint8 MSV emission costs [Kp, M] (``om->rbv`` equivalent)."""
+        return self.quant.cost.astype(np.uint8)
+
+    def reconfig_length(self, L: int) -> None:
+        self._profile.reconfig_length(L)
+
+    def copy(self) -> "OptimizedProfile":
+        return OptimizedProfile(self._profile.copy(), self.quant)
+
+    # --- direct kernel entry points (plan7.pyx:4750-4851) -------------------
+
+    def msv_filter(self, seq) -> float:
+        """Quantized MSV filter score of one sequence, in nats."""
+        return float(refops.msv_score_quantized(self._profile, seq.sequence))
+
+    def ssv_filter(self, seq) -> float:
+        """SSV filter score of one sequence, in nats."""
+        return float(refops.ssv_score(self._profile, seq.sequence))
+
+    def __repr__(self) -> str:
+        return f"<OptimizedProfile name={self.name!r} M={self.M}>"
+
+
+class OptimizedProfileBlock:
+    """Container of optimized profiles sharing an alphabet
+    (``plan7.pyx:4853-5123``; the per-profile locks of the reference are
+    unnecessary here -- profiles are reconfigured per batched call)."""
+
+    def __init__(self, alphabet: Alphabet, iterable=()):
+        self.alphabet = alphabet
+        self._profiles: List[OptimizedProfile] = []
+        for p in iterable:
+            self.append(p)
+
+    def append(self, om: OptimizedProfile) -> None:
+        if om.alphabet != self.alphabet:
+            raise ValueError("alphabet mismatch")
+        self._profiles.append(om)
+
+    def clear(self):
+        self._profiles.clear()
+
+    def extend(self, it):
+        for p in it:
+            self.append(p)
+
+    def __len__(self):
+        return len(self._profiles)
+
+    def __iter__(self):
+        return iter(self._profiles)
+
+    def __getitem__(self, i):
+        return self._profiles[i]
+
+
+class HMMPressedFile:
+    """Iterator of OptimizedProfile from a pressed database
+    (``plan7.pyx:3842-4027``).  Models are reconstructed from the
+    ``.h3m`` member (which carries the complete parameterization)."""
+
+    def __init__(self, path):
+        from .hmmfile import HMMFile
+        base = os.fspath(path)
+        if base.endswith((".h3m", ".h3f", ".h3p", ".h3i")):
+            base = base[:-4]
+        self._path = base
+        for ext in (".h3m", ".h3i"):
+            if not os.path.exists(base + ext):
+                raise FileNotFoundError(base + ext)
+        self._hmmfile = HMMFile(base + ".h3m")
+        self._bg: Optional[Background] = None
+
+    @property
+    def name(self):
+        return self._path
+
+    def read(self) -> Optional[OptimizedProfile]:
+        hmm = self._hmmfile.read()
+        if hmm is None:
+            return None
+        if self._bg is None or self._bg.alphabet != hmm.alphabet:
+            self._bg = Background(hmm.alphabet)
+        prof = Profile(hmm.M, hmm.alphabet).configure(hmm, self._bg, 400)
+        return OptimizedProfile(prof)
+
+    def rewind(self):
+        self._hmmfile.rewind()
+
+    def __iter__(self) -> Iterator[OptimizedProfile]:
+        return self
+
+    def __next__(self) -> OptimizedProfile:
+        om = self.read()
+        if om is None:
+            raise StopIteration
+        return om
+
+    def close(self):
+        self._hmmfile.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -256,8 +256,14 @@ class Pipeline:
 
         lnP = float(exp_logsurv(seq_score, ev[4], ev[5]))
 
-        hit = Hit(hits, sq.name, sq.accession or None,
-                  sq.description or None, L,
+        # in scan mode the "target" is the model (p7_pipeline scan path)
+        if self._mode == "scan":
+            tname, tacc = prof.name, prof.accession
+            tdesc, tlen = prof.description, prof.M
+        else:
+            tname, tacc = sq.name, sq.accession or None
+            tdesc, tlen = sq.description or None, L
+        hit = Hit(hits, tname, tacc, tdesc, tlen,
                   score=float(seq_score), pre_score=float(pre_score),
                   sum_score=float(sum_score), lnP=lnP,
                   nexpected=res.nexpected, nregions=res.nregions,
@@ -296,11 +302,14 @@ class Pipeline:
         target_line = []
         mid_line = []
         pp_line = []
-        in_ali = False
-        for s, k, i, pp in zip(tr.states, tr.k, tr.i, tr.pp):
-            if s == "M" and not in_ali:
-                in_ali = True
-            if not in_ali:
+        # the display covers the first..last M emission (mute D/I tails on
+        # either side are not shown, as in p7_alidisplay)
+        m_pos = [z for z, s in enumerate(tr.states) if s == "M"]
+        if not m_pos:
+            m_pos = [0, len(tr.states) - 1]
+        z_first, z_last = m_pos[0], m_pos[-1]
+        for z, (s, k, i, pp) in enumerate(zip(tr.states, tr.k, tr.i, tr.pp)):
+            if z < z_first or z > z_last:
                 continue
             if s == "M":
                 mc = cons[k] if cons and k < len(cons) else "x"

@@ -1,0 +1,213 @@
+"""Trace alignment: hits -> MSA, sequences -> HMM alignment.
+
+Mirrors ``pyhmmer.plan7.TraceAligner`` (reference ``src/pyhmmer/plan7.pyx:
+9433-9613``; ``p7_tracealign`` semantics) and ``TopHits.to_msa``:
+alignment columns are the model's match states 1..M plus insert columns
+sized by the maximum insert run observed between consecutive match
+states.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from typing import List, Optional, Sequence, Tuple
+
+from ..easel.alphabet import Alphabet
+from ..easel.msa import DigitalMSA, TextMSA
+from ..easel.sequence import DigitalSequence
+from .hmm import HMM
+from .background import Background
+from .profile import Profile
+from . import domaindef as dd
+from ..ops import reference as ref
+
+__all__ = ["Trace", "Traces", "TraceAligner", "tophits_to_msa"]
+
+Trace = dd.Trace
+
+
+class Traces(list):
+    """A list of traces (``pyhmmer.plan7.Traces``)."""
+
+
+def trace_from_sequence(seq: DigitalSequence) -> Trace:
+    """The trivial trace aligning a sequence to itself
+    (``Trace.from_sequence``): every residue is a match state."""
+    tr = Trace()
+    tr.append("S")
+    tr.append("N")
+    tr.append("B")
+    for i, _ in enumerate(seq.sequence, 1):
+        tr.append("M", i, i)
+    tr.append("E")
+    tr.append("C")
+    tr.append("T")
+    return tr
+
+
+Trace.from_sequence = staticmethod(trace_from_sequence)  # type: ignore
+
+
+def _trace_columns(tr: Trace) -> List[Tuple[str, int, int]]:
+    """Extract (state, k, i) for aligned M/I/D steps of a trace."""
+    out = []
+    for s, k, i in zip(tr.states, tr.k, tr.i):
+        if s in ("M", "I", "D"):
+            out.append((s, k, i))
+    return out
+
+
+def traces_to_msa(hmm: HMM, seqs: Sequence[DigitalSequence],
+                  traces: Sequence[Trace], trim: bool = False,
+                  all_consensus_cols: bool = True,
+                  digitize: bool = False):
+    """Merge traces into one MSA (``p7_tracealign_Seqs`` semantics)."""
+    M = hmm.M
+    alph = hmm.alphabet
+    # insert column widths between match states (index k = after state k)
+    ins_width = np.zeros(M + 1, dtype=np.int64)
+    parsed = [_trace_columns(t) for t in traces]
+    for cols in parsed:
+        run = 0
+        last_k = 0
+        for s, k, i in cols:
+            if s == "I":
+                run += 1
+                last_k = k
+            else:
+                if run:
+                    ins_width[last_k] = max(ins_width[last_k], run)
+                    run = 0
+        if run:
+            ins_width[last_k] = max(ins_width[last_k], run)
+
+    # column layout: [ins0][ M1 ][ins1][ M2 ] ... [ MM ][insM]
+    col_of_match = np.zeros(M + 1, dtype=np.int64)
+    ins_start = np.zeros(M + 1, dtype=np.int64)
+    pos = 0
+    ins_start[0] = 0
+    pos += ins_width[0]
+    for k in range(1, M + 1):
+        col_of_match[k] = pos
+        pos += 1
+        ins_start[k] = pos
+        pos += ins_width[k]
+    alen = pos
+
+    gap = alph.gap_code
+    rows = np.full((len(seqs), alen), gap, dtype=np.uint8)
+    lower = np.zeros((len(seqs), alen), dtype=bool)
+    for r, (sq, cols) in enumerate(zip(seqs, parsed)):
+        ins_used = np.zeros(M + 1, dtype=np.int64)
+        for s, k, i in cols:
+            if s == "M":
+                rows[r, col_of_match[k]] = sq.sequence[i - 1]
+                ins_used[k] = 0
+            elif s == "I":
+                c = ins_start[k] + ins_used[k]
+                if ins_used[k] < ins_width[k]:
+                    rows[r, c] = sq.sequence[i - 1]
+                    lower[r, c] = True
+                    ins_used[k] += 1
+            # D leaves a gap in the match column (already gap)
+
+    msa = DigitalMSA(alph, name=hmm.name)
+    msa.names = [s.name for s in seqs]
+    msa.codes = rows
+    # RF line: 'x' on match columns, '.' on inserts
+    rf = np.full(alen, b".", dtype="S1")
+    rf[col_of_match[1:]] = b"x"
+    msa.reference = b"".join(rf)
+    if digitize:
+        return msa
+    text = msa.textize()
+    # lowercase the insert-state residues, '.' gaps on insert columns
+    for r in range(len(text.rows)):
+        chars = list(text.rows[r])
+        for c in range(alen):
+            if rf[c] == b".":
+                chars[c] = chars[c].lower() if lower[r, c] else "."
+        text.rows[r] = "".join(chars)
+    return text
+
+
+class TraceAligner:
+    """Align sequences to an HMM (``pyhmmer.plan7.TraceAligner``)."""
+
+    def compute_traces(self, hmm: HMM, sequences) -> Traces:
+        """Optimal posterior-accuracy traces of each sequence against the
+        model (``p7_tracealign_computeTraces``)."""
+        bg = Background(hmm.alphabet)
+        traces = Traces()
+        for sq in sequences:
+            L = len(sq)
+            prof = Profile(hmm.M, hmm.alphabet).configure(
+                hmm, bg, L, multihit=False)
+            fwd = ref.forward(prof, sq.sequence, keep_matrix=True)
+            bck = ref.backward(prof, sq.sequence, keep_matrix=True)
+            pp = ref.posterior_matrices(fwd, bck, prof, sq.sequence)
+            oasc, dpm = dd.optimal_accuracy(prof, pp, L)
+            tr = dd.oa_traceback(prof, pp, dpm, L)
+            traces.append(tr)
+        return traces
+
+    def align_traces(self, hmm: HMM, sequences, traces, *,
+                     trim: bool = False, digitize: bool = False,
+                     all_consensus_cols: bool = False):
+        """Merge traces into an MSA (``p7_tracealign_Seqs``)."""
+        return traces_to_msa(hmm, list(sequences), list(traces), trim=trim,
+                             all_consensus_cols=all_consensus_cols,
+                             digitize=digitize)
+
+
+def tophits_to_msa(th, alphabet: Alphabet, sequences=None, traces=None,
+                   trim=False, digitize=False, all_consensus_cols=False):
+    """Alignment of all included domains of a TopHits (``TopHits.to_msa``,
+    the jackhmmer feedstock)."""
+    seqs: List[DigitalSequence] = []
+    trs: List[Trace] = []
+    for h in th.hits:
+        if not h.included:
+            continue
+        for di, d in enumerate(h.domains):
+            if not d.included:
+                continue
+            a = d.alignment
+            # rebuild a domain trace from the alignment strings
+            tr = Trace()
+            tr.append("S"); tr.append("N"); tr.append("B")
+            k = a.hmm_from
+            i = d.ali_from
+            sub = []
+            for mc, tc in zip(a.hmm_sequence, a.target_sequence):
+                if tc == "-":          # delete
+                    tr.append("D", k, 0)
+                    k += 1
+                elif mc == ".":        # insert
+                    tr.append("I", k - 1, len(sub) + 1)
+                    sub.append(tc.upper())
+                else:                  # match
+                    tr.append("M", k, len(sub) + 1)
+                    sub.append(tc.upper())
+                    k += 1
+            tr.append("E"); tr.append("C"); tr.append("T")
+            name = h.name
+            if len([dm for dm in h.domains if dm.included]) > 1:
+                name = h.name + b"/%d-%d" % (d.ali_from, d.ali_to)
+            seqs.append(DigitalSequence(alphabet, name=name,
+                                        sequence=alphabet.encode("".join(sub))))
+            trs.append(tr)
+    if sequences:
+        for sq, tr in zip(sequences, traces or
+                          [trace_from_sequence(s) for s in sequences]):
+            seqs.append(sq)
+            trs.append(tr)
+    # a fake HMM carrier for M
+    class _H:
+        pass
+    h = _H()
+    h.M = th.query_length
+    h.alphabet = alphabet
+    h.name = th.query_name
+    return traces_to_msa(h, seqs, trs, trim=trim, digitize=digitize,
+                         all_consensus_cols=all_consensus_cols)
