@@ -1,0 +1,79 @@
+"""Benchmark: hmmsearch throughput on real TPU hardware.
+
+Workload: the reference's bundled protein HMMs (replicated into a query
+stack) searched against the bundled 2100-sequence E. coli proteome
+subset -- the same shape as the reference's headline Pfam x E. coli
+benchmark (BASELINE.md).  Reports profile x sequence comparisons/s.
+
+Baseline: pyhmmer 0.11.1, 12 CPU threads, pressed Pfam: 2.19e6 cmp/s
+(BASELINE.md derived-throughput table).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CMP_PER_S = 2.19e6
+DATA = "/root/reference/src/pyhmmer/tests/data"
+
+
+def load_queries(replicate: int):
+    from pyhmmer_tpu.plan7 import HMMFile
+    hmms = []
+    for name in ("PF02826", "Thioesterase", "KR", "LuxC", "RREFam"):
+        path = os.path.join(DATA, "hmms", "txt", f"{name}.hmm")
+        if not os.path.exists(path):
+            continue
+        with HMMFile(path) as f:
+            hmms.extend(list(f))
+    out = []
+    for r in range(replicate):
+        for h in hmms:
+            hh = h.copy() if r else h
+            if r:
+                hh.name = h.name + b"/r%d" % r
+            out.append(hh)
+    return out
+
+
+def main():
+    t_start = time.time()
+    from pyhmmer_tpu.easel import SequenceFile
+    from pyhmmer_tpu.engine import SearchEngine
+
+    replicate = int(os.environ.get("BENCH_REPLICATE", "4"))
+    queries = load_queries(replicate)
+    with SequenceFile(os.path.join(
+            DATA, "seqs", "938293.PRJEB85.HG003687.faa"),
+            digital=True) as f:
+        targets = f.read_block()
+
+    eng = SearchEngine(queries[0].alphabet)
+    # warmup pass compiles every kernel shape (cached in /tmp across runs)
+    eng.search(queries[: len(queries) // replicate or 1], targets)
+
+    t0 = time.time()
+    results = eng.search(queries, targets)
+    dt = time.time() - t0
+
+    ncmp = len(queries) * len(targets)
+    nhits = sum(len(r.reported) for r in results)
+    value = ncmp / dt
+    print(json.dumps({
+        "metric": "hmmsearch_tpu_comparisons_per_s",
+        "value": round(value, 1),
+        "unit": "profile*seq cmp/s",
+        "vs_baseline": round(value / BASELINE_CMP_PER_S, 4),
+    }))
+    print(f"# {len(queries)} queries x {len(targets)} targets = {ncmp} "
+          f"comparisons in {dt:.2f}s ({nhits} hits reported; "
+          f"total wall {time.time()-t_start:.1f}s)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

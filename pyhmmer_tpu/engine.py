@@ -47,7 +47,7 @@ class _Buckets:
         lengths = np.array([len(s) for s in block], dtype=np.int64)
         fill = block.alphabet.nonresidue_code
         self.buckets = []   # (indices[B], codes[B, Lmax], lengths[B])
-        ladder = [128 << k for k in range(12)]   # 128 .. 262144
+        ladder = [512 << (2 * k) for k in range(5)]   # 512 .. 131072
         for li, Lmax in enumerate(ladder):
             lo = 0 if li == 0 else ladder[li - 1]
             sel = np.where((lengths > lo if li else lengths >= 1)
@@ -67,6 +67,18 @@ class _Buckets:
                     codes[r, : len(seq)] = seq
                     blens[r] = len(seq)
                 self.buckets.append((idx.astype(np.int64), codes, blens))
+
+
+def _pad_select(codes, lengths, bsel):
+    """Gather survivor rows padded up a small batch-size ladder so the
+    Viterbi/Forward stages reuse a bounded set of kernel shapes."""
+    n = len(bsel)
+    Bp = _pad_b(n)
+    csel = np.zeros((Bp, codes.shape[1]), dtype=codes.dtype)
+    lsel = np.zeros(Bp, dtype=lengths.dtype)
+    csel[:n] = codes[bsel]
+    lsel[:n] = lengths[bsel]
+    return csel, lsel, n
 
 
 def _pad_b(n: int) -> int:
@@ -197,7 +209,8 @@ class SearchEngine:
             pass3 = pass2 & ~need_vit
             if need_vit.any():
                 bsel = np.where(need_vit.any(axis=0))[0]
-                vsc = B.viterbi_scores(pb, codes[bsel], lengths[bsel])[:Preal]
+                csel, lsel, nsel = _pad_select(codes, lengths, bsel)
+                vsc = B.viterbi_scores(pb, csel, lsel)[:Preal, :nsel]
                 P2 = gumbel_surv((vsc - filtersc[:, bsel]) / LOG2,
                                  ev[:, 2:3], ev[:, 3:4])
                 ok = need_vit[:, bsel] & (P2 <= F2)
@@ -210,7 +223,8 @@ class SearchEngine:
             # stage 4: Forward (batched f32 for gating)
             F3 = np.array([pli.F3 for pli in pipelines])[:, None]
             bsel = np.where(pass3.any(axis=0))[0]
-            fsc = B.forward_scores(pb, codes[bsel], lengths[bsel])[:Preal]
+            csel, lsel, nsel = _pad_select(codes, lengths, bsel)
+            fsc = B.forward_scores(pb, csel, lsel)[:Preal, :nsel]
             P3 = exp_surv((fsc - filtersc[:, bsel]) / LOG2,
                           ev[:, 4:5], ev[:, 5:6])
             pass4 = pass3[:, bsel] & (P3 <= F3 * F3_SLACK)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 try:
     import os as _os
     _cache = _os.environ.get("PYHMMER_TPU_XLA_CACHE",
-                             _os.path.expanduser("~/.cache/pyhmmer_tpu_xla"))
+                             "/tmp/pyhmmer_tpu_xla")
     _os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,136 @@
+"""Multi-chip sharded search.
+
+The TPU-native analog of the reference's distribution mechanisms
+(SURVEY.md §2.6): the ``_ReverseSEARCHDispatcher``'s residue-balanced
+target chunks become a *data*-sharded sequence batch; hmmscan's profile
+database sharding becomes a *model*-sharded profile stack; the hmmpgmd
+master/worker hit merge becomes an XLA cross-device reduction + host-side
+``TopHits.merge`` (sum auto-Z, re-threshold -- ``plan7.pyx:8860-8964``).
+
+Because every (profile, sequence) pair is independent, the cascade
+kernels shard cleanly over a ``("model", "data")`` mesh with zero
+communication until the merge step; XLA inserts the collectives for the
+reduction outputs automatically from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import batch as B
+
+__all__ = ["make_mesh", "ShardedCascade"]
+
+
+def make_mesh(n_model: int = 1, n_data: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Build a ("model", "data") mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    arr = np.array(devices[: n_model * n_data]).reshape(n_model, n_data)
+    return Mesh(arr, ("model", "data"))
+
+
+def _pad_to(x: np.ndarray, axis: int, mult: int, fill) -> np.ndarray:
+    n = x.shape[axis]
+    target = ((n + mult - 1) // mult) * mult
+    if target == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(x, pad, constant_values=fill)
+
+
+class ShardedCascade:
+    """Run the filter cascade with profiles sharded over the ``model``
+    axis and target sequences sharded over the ``data`` axis."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n_model = mesh.shape["model"]
+        self.n_data = mesh.shape["data"]
+
+    def _shard(self, arr, spec):
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(self.mesh, spec))
+
+    def msv(self, pb: "B.ProfileBatch", codes: np.ndarray,
+            lengths: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Sharded quantized MSV over all (profile, sequence) pairs.
+
+        Returns ``(usc[P, B] nats, overflow[P, B], n_pass)`` where
+        ``n_pass`` is produced by a cross-device reduction (the collective
+        the hit-merge contract rides on).
+        """
+        P_, Breal = pb.P, codes.shape[0]
+        codes_p = _pad_to(codes, 0, self.n_data, 0)
+        lengths_p = _pad_to(lengths, 0, self.n_data, 0)
+        mask = (np.arange(codes_p.shape[1])[None, :] < lengths_p[:, None])
+        scale = pb.scale_b
+        tjb = np.minimum(255, np.rint(-scale * np.log(
+            3.0 / (np.maximum(lengths_p, 1).astype(np.float64) + 3.0))))
+
+        cost = self._shard(_pad_to(pb.msv_cost, 0, self.n_model, 255.0),
+                           P("model", None, None))
+        bias = self._shard(_pad_to(pb.msv_bias, 0, self.n_model, 0.0),
+                           P("model"))
+        tec = self._shard(_pad_to(pb.msv_tec, 0, self.n_model, 0.0),
+                          P("model"))
+        tbm = self._shard(_pad_to(pb.msv_tbm, 0, self.n_model, 0.0),
+                          P("model"))
+        codes_d = self._shard(codes_p.astype(np.int32), P("data", None))
+        mask_d = self._shard(mask.astype(np.float32), P("data", None))
+        tjb_d = self._shard(tjb.astype(np.float32), P("data"))
+
+        dx, ovf = B._msv_kernel(codes_d, mask_d, cost, bias, tec, tbm,
+                                tjb_d, pb.Kp)
+        # cross-device reduction: number of passing pairs (replicated out)
+        n_pass = int(jnp.sum((dx > 0) & ~ovf))
+        usc = np.asarray(dx, np.float64)[:P_, :Breal] / scale - 3.0
+        ovf_np = np.asarray(ovf)[:P_, :Breal]
+        usc[ovf_np] = np.inf
+        return usc, ovf_np, n_pass
+
+    def forward(self, pb: "B.ProfileBatch", codes: np.ndarray,
+                lengths: np.ndarray) -> np.ndarray:
+        """Sharded Forward scores [P, B] in nats."""
+        P_, Breal = pb.P, codes.shape[0]
+        codes_p = _pad_to(codes, 0, self.n_data, 0)
+        lengths_p = np.maximum(_pad_to(lengths, 0, self.n_data, 0), 0)
+        Lf = np.maximum(lengths_p, 1).astype(np.float64)
+        pmove = 3.0 / (Lf + 3.0)
+        mask = (np.arange(codes_p.shape[1])[None, :] < lengths_p[:, None])
+
+        def sp(name, arr, spec):
+            return self._shard(arr, spec)
+
+        args = dict(
+            msc=sp("msc", _pad_to(pb.msc, 0, self.n_model, B.NEGMASS),
+                   P("model", None, None)),
+            isc=sp("isc", _pad_to(pb.isc, 0, self.n_model, B.NEGMASS),
+                   P("model", None, None)),
+        )
+        tr = {}
+        for nm in ("tMM", "tIM", "tDM", "tMD", "tDD", "tBM", "tMI", "tII"):
+            fill = 0.0 if nm == "tDD" else B.NEGMASS
+            tr[nm] = sp(nm, _pad_to(getattr(pb, nm), 0, self.n_model, fill),
+                        P("model", None))
+        kmask = sp("kmask", _pad_to(pb.kmask, 0, self.n_model, False),
+                   P("model", None))
+        out = B._forward_kernel(
+            self._shard(codes_p.astype(np.int32), P("data", None)),
+            self._shard(mask, P("data", None)),
+            args["msc"], args["isc"], tr["tMM"], tr["tIM"], tr["tDM"],
+            tr["tMD"], tr["tDD"], tr["tBM"], tr["tMI"], tr["tII"], kmask,
+            np.float32(np.log(0.5)), np.float32(np.log(0.5)),
+            self._shard(np.log(1.0 - pmove).astype(np.float32), P("data")),
+            self._shard(np.log(pmove).astype(np.float32), P("data")),
+            pb.Kp)
+        return np.asarray(out, np.float64)[:P_, :Breal]
