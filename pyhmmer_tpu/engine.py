@@ -66,7 +66,8 @@ class _Buckets:
                     seq = block[int(s)].sequence
                     codes[r, : len(seq)] = seq
                     blens[r] = len(seq)
-                self.buckets.append((idx.astype(np.int64), codes, blens))
+                self.buckets.append(
+                    [idx.astype(np.int64), codes, blens, None])
 
 
 def _pad_select(codes, lengths, bsel):
@@ -93,11 +94,22 @@ class SearchEngine:
     """Batched hmmsearch over many queries and one target block."""
 
     def __init__(self, alphabet: Alphabet, background: Optional[Background] = None,
-                 p_max: int = DEFAULT_P_MAX, **pipeline_options):
+                 p_max: int = DEFAULT_P_MAX, use_pallas: Optional[bool] = None,
+                 **pipeline_options):
         self.alphabet = alphabet
         self.background = background or Background(alphabet)
         self.p_max = p_max
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self.options = pipeline_options
+
+    def _msv(self, pb, codes, lengths, dev):
+        if self.use_pallas:
+            from .ops.msv_pallas import msv_scores_pallas
+            return msv_scores_pallas(pb, codes, lengths, dev=dev)
+        return B.msv_scores(pb, codes, lengths, dev=dev)
 
     def search(self, queries: Sequence[HMM], targets: DigitalSequenceBlock,
                callback=None) -> List[TopHits]:
@@ -109,11 +121,12 @@ class SearchEngine:
         results: List[Optional[TopHits]] = [None] * len(queries)
 
         # group queries by padded model length so they share kernel shapes
+        # (coarse 256-steps: compute is cheap next to compile/dispatch)
         groups: dict = {}
         for qi, hmm in enumerate(queries):
             if hmm.alphabet != self.alphabet:
                 raise ValueError("alphabet mismatch between query and engine")
-            Mp = B.round_up(hmm.M, 64)
+            Mp = B.round_up(hmm.M, 256)
             groups.setdefault(Mp, []).append(qi)
 
         for Mp, qidx in sorted(groups.items()):
@@ -171,7 +184,11 @@ class SearchEngine:
             th.query_length = profs[pi].M
             tophits.append(th)
 
-        for (idx, codes, lengths) in buckets.buckets:
+        for bucket in buckets.buckets:
+            idx, codes, lengths, dev = bucket
+            if dev is None:
+                dev = B.SeqDevice(codes, lengths)
+                bucket[3] = dev
             nres = int(lengths.sum())
             nseq_real = int((lengths > 0).sum())
             for pli in pipelines:
@@ -182,8 +199,8 @@ class SearchEngine:
             L = np.maximum(lengths.astype(np.float64), 1.0)
             nullsc = L * np.log(L / (L + 1.0)) + np.log(1.0 / (L + 1.0))  # [B]
 
-            # stage 1: quantized MSV, all pairs
-            usc = B.msv_scores(pb, codes, lengths)[:Preal]          # [P, B]
+            # stage 1: quantized MSV, all pairs (Pallas kernel on TPU)
+            usc = self._msv(pb, codes, lengths, dev)[:Preal]        # [P, B]
             P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
                              ev[:, 0:1], ev[:, 1:2])
             pass1 = ((P1 <= np.array([pli.F1 for pli in pipelines])[:, None])
@@ -192,7 +209,8 @@ class SearchEngine:
                 continue
 
             # stage 2: bias filter for sequences that passed MSV anywhere
-            filtersc = B.bias_filter_scores(pb, codes, lengths)[:Preal]
+            filtersc = B.bias_filter_scores(pb, codes, lengths,
+                                            dev)[:Preal]
             P1b = gumbel_surv((usc - filtersc) / LOG2,
                               ev[:, 0:1], ev[:, 1:2])
             pass2 = pass1 & (P1b <= np.array(
@@ -203,31 +221,34 @@ class SearchEngine:
             if not pass2.any():
                 continue
 
-            # stage 3: Viterbi (strict F2 gate; skipped when P1b <= F2)
+            # stage 3+4 reordered for dispatch economy: Forward runs on the
+            # bias survivors, and the (strict-F2) Viterbi gate is evaluated
+            # afterwards only for the rare Forward survivors that did not
+            # skip Viterbi -- the gate predicates are independent, so the
+            # surviving set is identical to the reference's
+            # MSV->bias->Viterbi->Forward order.
             F2 = np.array([pli.F2 for pli in pipelines])[:, None]
-            need_vit = pass2 & (P1b > F2)
-            pass3 = pass2 & ~need_vit
-            if need_vit.any():
-                bsel = np.where(need_vit.any(axis=0))[0]
-                csel, lsel, nsel = _pad_select(codes, lengths, bsel)
-                vsc = B.viterbi_scores(pb, csel, lsel)[:Preal, :nsel]
-                P2 = gumbel_surv((vsc - filtersc[:, bsel]) / LOG2,
-                                 ev[:, 2:3], ev[:, 3:4])
-                ok = need_vit[:, bsel] & (P2 <= F2)
-                pass3[:, bsel] |= ok
-            for pi, pli in enumerate(pipelines):
-                pli.n_past_vit += int(pass3[pi].sum())
-            if not pass3.any():
-                continue
-
-            # stage 4: Forward (batched f32 for gating)
             F3 = np.array([pli.F3 for pli in pipelines])[:, None]
-            bsel = np.where(pass3.any(axis=0))[0]
+            skip_vit = P1b <= F2
+            bsel = np.where(pass2.any(axis=0))[0]
             csel, lsel, nsel = _pad_select(codes, lengths, bsel)
             fsc = B.forward_scores(pb, csel, lsel)[:Preal, :nsel]
             P3 = exp_surv((fsc - filtersc[:, bsel]) / LOG2,
                           ev[:, 4:5], ev[:, 5:6])
-            pass4 = pass3[:, bsel] & (P3 <= F3 * F3_SLACK)
+            pass_fwd = pass2[:, bsel] & (P3 <= F3 * F3_SLACK)
+            need_vit = pass_fwd & ~skip_vit[:, bsel]
+            if need_vit.any():
+                vcols = np.where(need_vit.any(axis=0))[0]
+                cv, lv, nv = _pad_select(csel, lsel, vcols)
+                vsc = B.viterbi_scores(pb, cv, lv)[:Preal, :nv]
+                P2 = gumbel_surv((vsc - filtersc[:, bsel][:, vcols]) / LOG2,
+                                 ev[:, 2:3], ev[:, 3:4])
+                keep = P2 <= F2
+                pass_fwd[:, vcols] &= (~need_vit[:, vcols]) | keep
+            pass4 = pass_fwd
+            for pi, pli in enumerate(pipelines):
+                pli.n_past_vit += int((pass2[pi] & (skip_vit[pi] |
+                                                    np.isin(np.arange(len(skip_vit[pi])), bsel))).sum())
 
             # stage 5: exact float64 postprocessing per survivor
             for pi, pli in enumerate(pipelines):

@@ -113,6 +113,8 @@ class ProfileBatch:
         self.msv_tbm = np.array([q.tbm_b for q in quants], dtype=np.float32)
         self.scale_b = quants[0].scale_b
 
+        self._device_cache: dict = {}
+
         # bias-filter odds (state-1 emission odds per residue code)
         from ..plan7.background import Background
         self.filter_odds = np.ones((P, Kp), dtype=np.float32)
@@ -129,6 +131,19 @@ class ProfileBatch:
                 mem = alph.degen[code]
                 w = f[mem]
                 self.filter_odds[i, code] = (odds[mem] * w).sum() / w.sum()
+
+
+# (continued) ProfileBatch device-cache accessor
+def _pb_device(self, *names):
+    out = []
+    for n in names:
+        if n not in self._device_cache:
+            self._device_cache[n] = jnp.asarray(getattr(self, n))
+        out.append(self._device_cache[n])
+    return tuple(out)
+
+
+ProfileBatch.device = _pb_device
 
 
 # ---------------------------------------------------------------------------
@@ -180,21 +195,52 @@ def _msv_kernel(codes, mask, cost, bias_b, tec_b, tbm_b, tjb_b, Kp):
     return xJ - base, ovf
 
 
-def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray):
+class SeqDevice:
+    """Device-resident packed sequences for one bucket.
+
+    Uploading a bucket's codes once and reusing them across every profile
+    chunk matters a lot on tunneled TPU setups where each host->device
+    transfer costs tens of milliseconds."""
+
+    def __init__(self, codes: np.ndarray, lengths: np.ndarray):
+        self.B, self.Lmax = codes.shape
+        self.lengths = lengths
+        L = np.maximum(lengths.astype(np.float64), 1.0)
+        mask = (np.arange(self.Lmax)[None, :] < lengths[:, None])
+        self.codes = jnp.asarray(codes, jnp.int32)
+        self.codes_t = jnp.asarray(
+            np.ascontiguousarray(codes.T), jnp.int32)
+        self.mask_f = jnp.asarray(mask, jnp.float32)
+        self.mask_b = jnp.asarray(mask, bool)
+        pmove = 3.0 / (L + 3.0)
+        self.loop = jnp.asarray(np.log(1.0 - pmove), jnp.float32)
+        self.move = jnp.asarray(np.log(pmove), jnp.float32)
+        self.p1 = jnp.asarray(L / (L + 1.0), jnp.float32)
+        scale = 3.0 / np.log(2.0)
+        tjb = np.minimum(255, np.rint(-scale * np.log(3.0 / (L + 3.0))))
+        self.tjb = jnp.asarray(tjb, jnp.float32)
+        self.tjb_col = jnp.asarray(
+            np.concatenate([tjb, np.zeros(_pad8(self.B) - self.B)]
+                           ).reshape(-1, 1), jnp.float32)
+
+
+def _pad8(n):
+    return ((n + 7) // 8) * 8
+
+
+def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray,
+               dev: "SeqDevice" = None):
     """Quantized MSV scores in nats for every (profile, sequence) pair.
 
     Returns ``usc[P, B]`` float64 (inf where the uint8 DP overflowed,
     i.e. certainly passing)."""
     B, Lmax = codes.shape
     scale = pb.scale_b
-    tjb = np.minimum(255, np.rint(
-        -scale * np.log(3.0 / (lengths.astype(np.float64) + 3.0))))
-    mask = (np.arange(Lmax)[None, :] < lengths[:, None])
+    dev = dev or SeqDevice(codes, lengths)
     dx, ovf = _msv_kernel(
-        jnp.asarray(codes, jnp.int32), jnp.asarray(mask, jnp.float32),
-        jnp.asarray(pb.msv_cost), jnp.asarray(pb.msv_bias),
-        jnp.asarray(pb.msv_tec), jnp.asarray(pb.msv_tbm),
-        jnp.asarray(tjb, jnp.float32), pb.Kp)
+        dev.codes, dev.mask_f,
+        *pb.device("msv_cost", "msv_bias", "msv_tec", "msv_tbm"),
+        dev.tjb, pb.Kp)
     usc = np.asarray(dx, np.float64) / scale - 3.0
     usc[np.asarray(ovf)] = np.inf
     return usc
@@ -205,22 +251,17 @@ def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def bias_filter_scores(pb: ProfileBatch, codes: np.ndarray,
-                       lengths: np.ndarray) -> np.ndarray:
+                       lengths: np.ndarray,
+                       dev: "SeqDevice" = None) -> np.ndarray:
     """Composition bias filter scores in nats, [P, B].
 
     Matches ``Background.filter_score`` (state-0 loop = p1, state-1 mean
     dwell 10, 50/50-smoothed compo odds)."""
-    B, Lmax = codes.shape
-    P = pb.P
     mean1 = 10.0
     t11 = np.float32(mean1 / (mean1 + 1.0))
-    p1 = (lengths / (lengths + 1.0)).astype(np.float32)       # [B]
-    mask = (np.arange(Lmax)[None, :] < lengths[:, None])
-
-    out = _bias_scan(jnp.asarray(codes, jnp.int32),
-                     jnp.asarray(mask, bool),
-                     jnp.asarray(pb.filter_odds),
-                     jnp.asarray(p1), t11, pb.Kp)
+    dev = dev or SeqDevice(codes, lengths)
+    out = _bias_scan(dev.codes, dev.mask_b,
+                     *pb.device("filter_odds"), dev.p1, t11, pb.Kp)
     logsc = np.asarray(out, np.float64)
     L = np.maximum(lengths.astype(np.float64), 1.0)
     return logsc + L * np.log(L / (L + 1.0)) + np.log(1.0 / (L + 1.0))
@@ -339,22 +380,16 @@ def _viterbi_kernel(codes, mask, msc, isc, tMM, tIM, tDM, tMD, tDD, tBM,
 
 
 def viterbi_scores(pb: ProfileBatch, codes: np.ndarray,
-                   lengths: np.ndarray) -> np.ndarray:
+                   lengths: np.ndarray,
+                   dev: "SeqDevice" = None) -> np.ndarray:
     """Viterbi scores in nats for all (profile, sequence) pairs [P, B]."""
-    B, Lmax = codes.shape
-    L = lengths.astype(np.float64)
-    pmove = 3.0 / (L + 3.0)
-    loop = np.log(1.0 - pmove).astype(np.float32)
-    move = np.log(pmove).astype(np.float32)
-    mask = (np.arange(Lmax)[None, :] < lengths[:, None])
+    dev = dev or SeqDevice(codes, lengths)
     xEj = np.float32(np.log(0.5))
     out = _viterbi_kernel(
-        jnp.asarray(codes, jnp.int32), jnp.asarray(mask, bool),
-        jnp.asarray(pb.msc), jnp.asarray(pb.isc),
-        jnp.asarray(pb.tMM), jnp.asarray(pb.tIM), jnp.asarray(pb.tDM),
-        jnp.asarray(pb.tMD), jnp.asarray(pb.tDD), jnp.asarray(pb.tBM),
-        jnp.asarray(pb.tMI), jnp.asarray(pb.tII), jnp.asarray(pb.kmask),
-        xEj, xEj, jnp.asarray(loop), jnp.asarray(move), pb.Kp)
+        dev.codes, dev.mask_b,
+        *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD", "tDD", "tBM",
+                   "tMI", "tII", "kmask"),
+        xEj, xEj, dev.loop, dev.move, pb.Kp)
     return np.asarray(out, np.float64)
 
 
@@ -428,20 +463,14 @@ def _forward_kernel(codes, mask, msc, isc, tMM, tIM, tDM, tMD, tDD, tBM,
 
 
 def forward_scores(pb: ProfileBatch, codes: np.ndarray,
-                   lengths: np.ndarray) -> np.ndarray:
+                   lengths: np.ndarray,
+                   dev: "SeqDevice" = None) -> np.ndarray:
     """Forward scores in nats for all (profile, sequence) pairs [P, B]."""
-    B, Lmax = codes.shape
-    L = lengths.astype(np.float64)
-    pmove = 3.0 / (L + 3.0)
-    loop = np.log(1.0 - pmove).astype(np.float32)
-    move = np.log(pmove).astype(np.float32)
-    mask = (np.arange(Lmax)[None, :] < lengths[:, None])
+    dev = dev or SeqDevice(codes, lengths)
     xEj = np.float32(np.log(0.5))
     out = _forward_kernel(
-        jnp.asarray(codes, jnp.int32), jnp.asarray(mask, bool),
-        jnp.asarray(pb.msc), jnp.asarray(pb.isc),
-        jnp.asarray(pb.tMM), jnp.asarray(pb.tIM), jnp.asarray(pb.tDM),
-        jnp.asarray(pb.tMD), jnp.asarray(pb.tDD), jnp.asarray(pb.tBM),
-        jnp.asarray(pb.tMI), jnp.asarray(pb.tII), jnp.asarray(pb.kmask),
-        xEj, xEj, jnp.asarray(loop), jnp.asarray(move), pb.Kp)
+        dev.codes, dev.mask_b,
+        *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD", "tDD", "tBM",
+                   "tMI", "tII", "kmask"),
+        xEj, xEj, dev.loop, dev.move, pb.Kp)
     return np.asarray(out, np.float64)

@@ -1,0 +1,173 @@
+"""ctypes bindings for the native host DP library (csrc/hmmdp.cpp).
+
+The library is compiled on demand with g++ (cached next to the source);
+if no compiler is available the NumPy implementations in
+:mod:`ops.reference` are used unchanged.  Disable with
+``PYHMMER_TPU_NATIVE=0``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import numpy as np
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "csrc", "hmmdp.cpp")
+_LIB = os.path.join(_HERE, "..", "csrc", "libhmmdp.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_D = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_U8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_I32 = ctypes.c_int32
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("PYHMMER_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+
+    sig_fb = [
+        _U8, _I32,
+        _D, _D, _D, _D, _D, _D, _D, _D,     # transitions
+        _D, _D,                             # msc, isc
+        _D, _D, _D, _D,                     # xE xN xJ xC
+        _I32, _I32,
+        _D, _D, _D, _D, _D,                 # specials out
+        _D, _D, _D, _I32,                   # matrices out, keep
+    ]
+    lib.hmmdp_forward.argtypes = sig_fb
+    lib.hmmdp_forward.restype = ctypes.c_double
+    lib.hmmdp_backward.argtypes = sig_fb
+    lib.hmmdp_backward.restype = ctypes.c_double
+    lib.hmmdp_optacc.argtypes = [
+        _D, _D, _D, _D, _D,
+        _D, _D, _D, _D, _D, _D, _D, _D,
+        _I32, _I32, _I32,
+        _D, _D, _D,
+        _D, _D, _D, _D, _D,
+    ]
+    lib.hmmdp_optacc.restype = ctypes.c_double
+    _lib = lib
+    return _lib
+
+
+class ProfTensors:
+    """Float64-contiguous profile tensors for the C ABI (cached on the
+    profile object; length-model specials refresh on reconfig)."""
+
+    __slots__ = ("tBM", "tMM", "tIM", "tDM", "tMD", "tDD", "tMI", "tII",
+                 "msc", "isc", "M", "Kp")
+
+    def __init__(self, prof):
+        def c(a):
+            return np.ascontiguousarray(
+                np.where(np.isfinite(a), a, -1e30), dtype=np.float64)
+        self.tBM, self.tMM, self.tIM = c(prof.tBM), c(prof.tMM), c(prof.tIM)
+        self.tDM, self.tMD, self.tDD = c(prof.tDM), c(prof.tMD), c(prof.tDD)
+        self.tMI, self.tII = c(prof.tMI), c(prof.tII)
+        self.msc, self.isc = c(prof.msc), c(prof.isc)
+        self.M = prof.M
+        self.Kp = prof.alphabet.Kp
+
+
+def get_tensors(prof) -> ProfTensors:
+    pt = getattr(prof, "_native_tensors", None)
+    if pt is None or pt.M != prof.M:
+        pt = ProfTensors(prof)
+        prof._native_tensors = pt
+    return pt
+
+
+def _clamp2(a):
+    return np.ascontiguousarray(
+        np.where(np.isfinite(a), a, -1e30), dtype=np.float64)
+
+
+def fwdbck(prof, dsq: np.ndarray, keep_matrix: bool, backward: bool):
+    """Native forward/backward; returns the same result objects as
+    ops.reference.forward/backward."""
+    from . import reference as ref
+    lib = get_lib()
+    pt = get_tensors(prof)
+    L = int(len(dsq))
+    W = pt.M + 1
+    xN = np.empty(L + 1); xB = np.empty(L + 1); xE = np.empty(L + 1)
+    xC = np.empty(L + 1); xJ = np.empty(L + 1)
+    if keep_matrix:
+        Mm = np.empty((L + 1, W)); Im = np.empty((L + 1, W))
+        Dm = np.empty((L + 1, W))
+    else:
+        Mm = Im = Dm = np.empty((1, W))
+    fn = lib.hmmdp_backward if backward else lib.hmmdp_forward
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    score = fn(dsq8, L, pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD,
+               pt.tMI, pt.tII, pt.msc, pt.isc,
+               _clamp2(prof.xE), _clamp2(prof.xN), _clamp2(prof.xJ),
+               _clamp2(prof.xC), pt.M, pt.Kp,
+               xN, xB, xE, xC, xJ, Mm, Im, Dm,
+               1 if keep_matrix else 0)
+    if keep_matrix:
+        return ref.MatrixResult(score, xN, xB, xE, xC, xJ, Mm, Im, Dm)
+    return ref.ParserResult(score, xN, xB, xE, xC, xJ)
+
+
+def optacc(prof, pp: dict, L: int):
+    """Native optimal accuracy DP; returns (oasc, dp dict)."""
+    lib = get_lib()
+    Mn = prof.M
+    W = Mn + 1
+
+    def gate(tsc):
+        t = np.where(np.isfinite(tsc), tsc, -1e30)
+        return np.ascontiguousarray(
+            np.where(t > -5e29, 0.0, -1e30), dtype=np.float64)
+
+    ppM = np.ascontiguousarray(pp["M"], dtype=np.float64)
+    ppI = np.ascontiguousarray(pp["I"], dtype=np.float64)
+    ppN = np.ascontiguousarray(pp["N"], dtype=np.float64)
+    ppJ = np.ascontiguousarray(pp["J"], dtype=np.float64)
+    ppC = np.ascontiguousarray(pp["C"], dtype=np.float64)
+    Mx = np.empty((L + 1, W)); Ix = np.empty((L + 1, W))
+    Dx = np.empty((L + 1, W))
+    xN = np.empty(L + 1); xB = np.empty(L + 1); xE = np.empty(L + 1)
+    xJ = np.empty(L + 1); xC = np.empty(L + 1)
+    eJ_ok = 1 if np.isfinite(prof.xE[0]) and prof.xE[0] > -5e29 else 0
+    oasc = lib.hmmdp_optacc(
+        ppM, ppI, ppN, ppJ, ppC,
+        gate(prof.tMM), gate(prof.tIM), gate(prof.tDM),
+        gate(prof.tMD), gate(prof.tDD), gate(prof.tMI), gate(prof.tII),
+        gate(prof.tBM), eJ_ok, L, Mn,
+        Mx, Ix, Dx, xN, xB, xE, xJ, xC)
+    return oasc, dict(M=Mx, I=Ix, D=Dx, N=xN, B=xB, E=xE, J=xJ, C=xC)
+
+
+def available() -> bool:
+    return get_lib() is not None

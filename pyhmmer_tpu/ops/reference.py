@@ -110,7 +110,15 @@ def forward(prof, dsq: np.ndarray, keep_matrix: bool = False):
 
     Equivalent to ``p7_ForwardParser`` / ``p7_GForward`` in exact log space
     (no FLogsum table approximation; cf. SURVEY.md §7 hard part 2).
+    Dispatches to the native C++ kernels when available.
     """
+    from . import native
+    if native.available():
+        return native.fwdbck(prof, dsq, keep_matrix, backward=False)
+    return _forward_np(prof, dsq, keep_matrix)
+
+
+def _forward_np(prof, dsq: np.ndarray, keep_matrix: bool = False):
     Mn, L, msc, isc, tr, x = _prep(prof, dsq)
     xN = np.full(L + 1, NEGMASS); xB = np.full(L + 1, NEGMASS)
     xE = np.full(L + 1, NEGMASS); xC = np.full(L + 1, NEGMASS)
@@ -182,7 +190,15 @@ def _dd_chain_logsum_rev(src_row: np.ndarray, tDD: np.ndarray) -> np.ndarray:
 
 
 def backward(prof, dsq: np.ndarray, keep_matrix: bool = False):
-    """Backward algorithm (``p7_BackwardParser`` / ``p7_GBackward``)."""
+    """Backward algorithm (``p7_BackwardParser`` / ``p7_GBackward``).
+    Dispatches to the native C++ kernels when available."""
+    from . import native
+    if native.available():
+        return native.fwdbck(prof, dsq, keep_matrix, backward=True)
+    return _backward_np(prof, dsq, keep_matrix)
+
+
+def _backward_np(prof, dsq: np.ndarray, keep_matrix: bool = False):
     Mn, L, msc, isc, tr, x = _prep(prof, dsq)
     xN = np.full(L + 1, NEGMASS); xB = np.full(L + 1, NEGMASS)
     xE = np.full(L + 1, NEGMASS); xC = np.full(L + 1, NEGMASS)

@@ -73,8 +73,15 @@ def optimal_accuracy(prof, pp: dict, L: int) -> Tuple[float, np.ndarray]:
     Maximizes the summed posterior probability of emitted residues along a
     legal state path.  Transitions contribute 0 when allowed, -inf when
     their probability is zero.  Returns ``(oasc, dp-matrices)`` for the
-    traceback.
+    traceback.  Dispatches to the native C++ kernel when available.
     """
+    from ..ops import native
+    if native.available():
+        return native.optacc(prof, pp, L)
+    return _optimal_accuracy_np(prof, pp, L)
+
+
+def _optimal_accuracy_np(prof, pp: dict, L: int) -> Tuple[float, np.ndarray]:
     Mn = prof.M
     ppM, ppI = pp["M"], pp["I"]
     ppN, ppJ, ppC = pp["N"], pp["J"], pp["C"]
