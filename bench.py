@@ -54,8 +54,9 @@ def main():
         targets = f.read_block()
 
     eng = SearchEngine(queries[0].alphabet)
-    # warmup pass compiles every kernel shape (cached in /tmp across runs)
-    eng.search(queries[: len(queries) // replicate or 1], targets)
+    # warmup pass compiles every kernel shape (cached in /tmp across runs);
+    # must use the full query set so every (P, M, L, B) shape is covered
+    eng.search(queries, targets)
 
     t0 = time.time()
     results = eng.search(queries, targets)

@@ -506,11 +506,19 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
         return [(i, j)], n2_region
 
     # single-linkage clustering by fractional overlap >= min_overlap of the
-    # smaller segment (p7_spensemble_Cluster(sp, 0.8, TRUE, 64, 0.25, 0.02))
+    # smaller segment (p7_spensemble_Cluster(sp, 0.8, TRUE, 64, 0.25, 0.02)).
+    # Sampled spans repeat heavily across the ensemble, so linkage runs on
+    # the deduplicated spans (weighted by multiplicity).
     min_overlap = 0.8
     min_posterior = 0.25
     min_endpointp = 0.02
-    n = len(spans)
+    uniq: dict = {}
+    samples_of: dict = {}
+    for sp, s_idx in zip(spans, span_sample):
+        uniq[sp] = uniq.get(sp, 0) + 1
+        samples_of.setdefault(sp, set()).add(s_idx)
+    uspans = sorted(uniq)
+    n = len(uspans)
     parent = list(range(n))
 
     def find(x):
@@ -524,22 +532,17 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
         if rx != ry:
             parent[rx] = ry
 
-    order = sorted(range(n), key=lambda t: spans[t])
-    # sweep: link each span to overlapping predecessors (sorted by start,
-    # only nearby spans can satisfy the 0.8-overlap criterion)
-    for oi in range(n):
-        a1, b1 = spans[order[oi]]
-        for oj in range(oi - 1, -1, -1):
-            a2, b2 = spans[order[oj]]
-            if b2 < a1:
-                # spans sorted by start; b2 may still overlap for later oj,
-                # but bounded scan suffices in practice
-                if a1 - a2 > 4 * (b1 - a1 + 1):
+    if n:
+        a = np.array([s[0] for s in uspans])
+        b = np.array([s[1] for s in uspans])
+        ln = b - a + 1
+        for u in range(n):
+            ov = np.minimum(b[u], b) - np.maximum(a[u], a) + 1
+            linked = (ov > 0) & (ov >= min_overlap * np.minimum(ln[u], ln))
+            for v in np.where(linked)[0]:
+                if v >= u:
                     break
-                continue
-            ov = min(b1, b2) - max(a1, a2) + 1
-            if ov > 0 and ov >= min_overlap * min(b1 - a1 + 1, b2 - a2 + 1):
-                union(order[oi], order[oj])
+                union(u, v)
 
     clusters: dict = {}
     for t in range(n):
@@ -548,19 +551,23 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
     envs: List[Tuple[int, int]] = []
     for members in clusters.values():
         # cluster posterior = fraction of samples containing this domain
-        samples_in = len({span_sample[t] for t in members})
-        if samples_in / nsamples < min_posterior:
-            continue
-        starts = {}
-        ends = {}
+        s_in = set()
         for t in members:
-            a, b = spans[t]
-            starts[a] = starts.get(a, 0) + 1
-            ends[b] = ends.get(b, 0) + 1
-        m = len(members)
+            s_in |= samples_of[uspans[t]]
+        if len(s_in) / nsamples < min_posterior:
+            continue
+        starts: dict = {}
+        ends: dict = {}
+        m = 0
+        for t in members:
+            aa, bb = uspans[t]
+            c = uniq[uspans[t]]
+            starts[aa] = starts.get(aa, 0) + c
+            ends[bb] = ends.get(bb, 0) + c
+            m += c
         # envelope: widest endpoints with marginal prob >= min_endpointp
-        sa = [a for a, c in starts.items() if c / m >= min_endpointp]
-        sb = [b for b, c in ends.items() if c / m >= min_endpointp]
+        sa = [aa for aa, c in starts.items() if c / m >= min_endpointp]
+        sb = [bb for bb, c in ends.items() if c / m >= min_endpointp]
         if not sa:
             sa = list(starts)
         if not sb:
