@@ -316,3 +316,178 @@ double hmmdp_optacc(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stochastic traceback ensemble (region resolution + trace null2)
+// ---------------------------------------------------------------------------
+//
+// Samples N paths from a (log-space) Forward matrix of a region and
+// returns the sampled domain spans plus the per-position trace null2
+// accumulation (p7_Null2_ByTrace per sampled domain, summed over samples;
+// the caller divides by N).
+
+namespace {
+
+struct Rng {  // xoshiro256** -- fast, good quality for sampling
+    uint64_t s[4];
+    explicit Rng(uint64_t seed) {
+        uint64_t z = seed + 0x9E3779B97F4A7C15ULL;
+        for (int i = 0; i < 4; i++) {
+            z ^= z >> 30; z *= 0xBF58476D1CE4E5B9ULL;
+            z ^= z >> 27; z *= 0x94D049BB133111EBULL;
+            z ^= z >> 31;
+            s[i] = z + (z == 0);
+            z += 0x9E3779B97F4A7C15ULL;
+        }
+    }
+    static inline uint64_t rotl(uint64_t x, int k) {
+        return (x << k) | (x >> (64 - k));
+    }
+    uint64_t next() {
+        uint64_t result = rotl(s[1] * 5, 7) * 9;
+        uint64_t t = s[1] << 17;
+        s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3];
+        s[2] ^= t; s[3] = rotl(s[3], 45);
+        return result;
+    }
+    double uniform() {  // [0, 1)
+        return (next() >> 11) * 0x1.0p-53;
+    }
+};
+
+inline int choose(Rng& rng, const double* logp, int n) {
+    // two-pass categorical draw (no scratch buffer; n can be M+1)
+    double mx = NEGMASS;
+    for (int i = 0; i < n; i++) mx = std::max(mx, logp[i]);
+    if (mx <= -5e29) return 0;
+    double tot = 0.0;
+    for (int i = 0; i < n; i++) tot += std::exp(logp[i] - mx);
+    double u = rng.uniform() * tot;
+    for (int i = 0; i < n; i++) {
+        u -= std::exp(logp[i] - mx);
+        if (u <= 0) return i;
+    }
+    return n - 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of sampled spans written (up to max_spans).
+// spans_out: per span [sample_idx, a, b] int32 triples.
+// n2acc: [L+2] accumulated per-position null2 log-odds (caller /= N).
+int32_t hmmdp_stotrace(
+    const uint8_t* dsq, int32_t L,
+    const double* Mm, const double* Im, const double* Dm,   // [L+1, W] log
+    const double* xNv, const double* xBv, const double* xEv,
+    const double* xCv, const double* xJv,                   // [L+1]
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* xE, const double* xN, const double* xJ, const double* xC,
+    const double* odds_m, const double* odds_i,             // [K, W]
+    int32_t M, int32_t K, int32_t nsamples, uint64_t seed,
+    int32_t* spans_out, int32_t max_spans, double* n2acc) {
+    const int W = M + 1;
+    Rng rng(seed);
+    double* uM = new double[W];
+    double* uI = new double[W];
+    double* lp = new double[W + 1];
+    int nspans = 0;
+
+    for (int s = 0; s < nsamples; s++) {
+        int state = 0;  // 0=C 1=E 2=M 3=D 4=I 5=B 6=J 7=N
+        int i = L, k = 0, end_i = 0;
+        int guard = 8 * (L + M) + 64;
+        while (guard-- > 0) {
+            // defensive: a numerically-degenerate matrix must not walk out
+            // of bounds
+            if (i < 0 || k < 0 || k > M) break;
+            if ((state == 2 || state == 4) && i < 1) break;
+            if (state == 0) {          // C
+                double o0 = i > 0 ? xCv[i - 1] + xC[0] : NEGMASS;
+                double o1 = xEv[i] + xE[1];
+                double two[2] = {o0, o1};
+                if (choose(rng, two, 2) == 0) i--;
+                else state = 1;
+            } else if (state == 1) {   // E
+                end_i = i;
+                for (int kk = 0; kk < W; kk++) { uM[kk] = 0; uI[kk] = 0; }
+                for (int kk = 1; kk <= M; kk++) lp[kk - 1] = Mm[(size_t)i * W + kk];
+                lp[M] = Dm[(size_t)i * W + M];
+                int c = choose(rng, lp, M + 1);
+                if (c == M) { state = 3; k = M; }
+                else { state = 2; k = c + 1; }
+            } else if (state == 2) {   // M
+                uM[k] += 1;
+                double o[4];
+                o[0] = k >= 2 ? Mm[(size_t)(i - 1) * W + k - 1] + tMM[k - 1] : NEGMASS;
+                o[1] = k >= 2 ? Im[(size_t)(i - 1) * W + k - 1] + tIM[k - 1] : NEGMASS;
+                o[2] = k >= 2 ? Dm[(size_t)(i - 1) * W + k - 1] + tDM[k - 1] : NEGMASS;
+                o[3] = xBv[i - 1] + tBM[k - 1];
+                int c = choose(rng, o, 4);
+                i--;
+                if (c == 3) {
+                    // domain span complete: record + trace null2
+                    if (nspans < max_spans) {
+                        spans_out[3 * nspans] = s;
+                        spans_out[3 * nspans + 1] = i + 1;
+                        spans_out[3 * nspans + 2] = end_i;
+                        nspans++;
+                    }
+                    double tot = 0;
+                    for (int kk = 0; kk <= M; kk++) tot += uM[kk] + uI[kk];
+                    if (tot > 0) {
+                        // null2[x] = sum_k (uM[k] odds_m[x,k] + uI[k] odds_i[x,k]) / tot
+                        for (int pos = i + 1; pos <= end_i; pos++) {
+                            uint8_t x = dsq[pos - 1];
+                            if (x >= K) continue;
+                            double v = 0;
+                            const double* om_ = odds_m + (size_t)x * W;
+                            const double* oi_ = odds_i + (size_t)x * W;
+                            for (int kk = 1; kk <= M; kk++)
+                                v += uM[kk] * om_[kk] + uI[kk] * oi_[kk];
+                            double val = v / tot;
+                            n2acc[pos] += val > 1e-30 ? std::log(val) : -69.0;
+                        }
+                    }
+                    state = 5;
+                } else if (c == 0) k--;
+                else if (c == 1) { state = 4; k--; }
+                else { state = 3; k--; }
+            } else if (state == 3) {   // D
+                double o0 = Mm[(size_t)i * W + k - 1] + tMD[k - 1];
+                double o1 = Dm[(size_t)i * W + k - 1] + tDD[k - 1];
+                double two[2] = {o0, o1};
+                if (choose(rng, two, 2) == 0) { state = 2; k--; }
+                else k--;
+            } else if (state == 4) {   // I
+                uI[k] += 1;
+                double o0 = Mm[(size_t)(i - 1) * W + k] + tMI[k];
+                double o1 = Im[(size_t)(i - 1) * W + k] + tII[k];
+                double two[2] = {o0, o1};
+                i--;
+                if (choose(rng, two, 2) == 0) state = 2;
+            } else if (state == 5) {   // B
+                double o0 = xNv[i] + xN[1];
+                double o1 = xJv[i] + xJ[1];
+                double two[2] = {o0, o1};
+                state = choose(rng, two, 2) == 0 ? 7 : 6;
+            } else if (state == 6) {   // J
+                double o0 = i > 0 ? xJv[i - 1] + xJ[0] : NEGMASS;
+                double o1 = xEv[i] + xE[0];
+                double two[2] = {o0, o1};
+                if (choose(rng, two, 2) == 0) i--;
+                else state = 1;
+            } else {                   // N
+                if (i == 0) break;
+                i--;
+            }
+        }
+    }
+    delete[] uM; delete[] uI; delete[] lp;
+    return nspans;
+}
+
+}  // extern "C"

@@ -75,6 +75,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _D, _D, _D, _D, _D,
     ]
     lib.hmmdp_optacc.restype = ctypes.c_double
+    _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    lib.hmmdp_stotrace.argtypes = [
+        _U8, _I32,
+        _D, _D, _D,
+        _D, _D, _D, _D, _D,
+        _D, _D, _D, _D, _D, _D, _D, _D,
+        _D, _D, _D, _D,
+        _D, _D,
+        _I32, _I32, _I32, ctypes.c_uint64,
+        _I32P, _I32, _D,
+    ]
+    lib.hmmdp_stotrace.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -167,6 +179,42 @@ def optacc(prof, pp: dict, L: int):
         gate(prof.tBM), eJ_ok, L, Mn,
         Mx, Ix, Dx, xN, xB, xE, xJ, xC)
     return oasc, dict(M=Mx, I=Ix, D=Dx, N=xN, B=xB, E=xE, J=xJ, C=xC)
+
+
+def stotrace(prof, fwd, dsq: np.ndarray, nsamples: int, seed: int):
+    """Native stochastic traceback ensemble over a region window.
+
+    Returns (spans list[(sample, a, b)], n2acc[L+2]) where n2acc is the
+    summed per-position trace-null2 log odds (divide by nsamples)."""
+    lib = get_lib()
+    pt = get_tensors(prof)
+    L = int(len(dsq))
+    K = prof.alphabet.K
+    W = pt.M + 1
+    odds_m = np.ascontiguousarray(
+        np.exp(np.maximum(prof.msc[:K, :], -700.0)), dtype=np.float64)
+    odds_i = np.ascontiguousarray(
+        np.exp(np.maximum(prof.isc[:K, :], -700.0)), dtype=np.float64)
+    max_spans = nsamples * 16
+    spans = np.zeros(3 * max_spans, dtype=np.int32)
+    n2acc = np.zeros(L + 2, dtype=np.float64)
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    n = lib.hmmdp_stotrace(
+        dsq8, L,
+        np.ascontiguousarray(fwd.M), np.ascontiguousarray(fwd.I),
+        np.ascontiguousarray(fwd.D),
+        np.ascontiguousarray(fwd.xN), np.ascontiguousarray(fwd.xB),
+        np.ascontiguousarray(fwd.xE), np.ascontiguousarray(fwd.xC),
+        np.ascontiguousarray(fwd.xJ),
+        pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
+        _clamp2(prof.xE), _clamp2(prof.xN), _clamp2(prof.xJ),
+        _clamp2(prof.xC),
+        odds_m, odds_i,
+        pt.M, K, nsamples, seed & 0x7FFFFFFFFFFFFFFF,
+        spans, max_spans, n2acc)
+    out = [(int(spans[3 * t]), int(spans[3 * t + 1]), int(spans[3 * t + 2]))
+           for t in range(n)]
+    return out, n2acc
 
 
 def available() -> bool:

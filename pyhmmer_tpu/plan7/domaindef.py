@@ -485,22 +485,30 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
     # each sampled domain contributes its own uniform-usage null2 over its
     # span (p7_Null2_ByTrace per domain, averaged over samples)
     n2acc = np.zeros(Ld + 2)
-    from .ensemble import sample_traces
-    all_spans = sample_traces(prof, fwd, window, rng, nsamples)
-    for s_idx, sample in enumerate(all_spans):
-        for (a, b, uM, uI) in sample:
+    from ..ops import native
+    if native.available():
+        seed = int(rng.integers(0, 2**62))
+        triples, n2acc = native.stotrace(prof, fwd, window, nsamples, seed)
+        for (s_idx, a, b) in triples:
             spans.append((a, b))
             span_sample.append(s_idx)
-            tot = uM.sum() + uI.sum()
-            if tot == 0:
-                continue
-            null2_t = (odds_m @ uM + odds_i @ uI) / tot
-            xs = np.minimum(window[a - 1: b], K - 1)
-            # degenerate/nonresidue codes contribute odds 1 (log 0)
-            valid = window[a - 1: b] < K
-            contrib = np.where(valid, np.log(np.maximum(null2_t[xs], 1e-30)),
-                               0.0)
-            n2acc[a: b + 1] += contrib
+    else:
+        from .ensemble import sample_traces
+        all_spans = sample_traces(prof, fwd, window, rng, nsamples)
+        for s_idx, sample in enumerate(all_spans):
+            for (a, b, uM, uI) in sample:
+                spans.append((a, b))
+                span_sample.append(s_idx)
+                tot = uM.sum() + uI.sum()
+                if tot == 0:
+                    continue
+                null2_t = (odds_m @ uM + odds_i @ uI) / tot
+                xs = np.minimum(window[a - 1: b], K - 1)
+                # degenerate/nonresidue codes contribute odds 1 (log 0)
+                valid = window[a - 1: b] < K
+                contrib = np.where(
+                    valid, np.log(np.maximum(null2_t[xs], 1e-30)), 0.0)
+                n2acc[a: b + 1] += contrib
     n2_region = n2acc / nsamples
     if not spans:
         return [(i, j)], n2_region
