@@ -8,6 +8,14 @@ single device kernels (`pyhmmer_tpu.ops.batch`), compacts survivors on the
 host, and hands the rare Forward survivors to the exact float64 domain
 postprocessing (`plan7.domaindef`) so the reported numbers are identical
 to the sequential oracle pipeline.
+
+Dispatch economics (measured on a tunneled single-chip TPU): individual
+device->host fetches cost whole round trips while enqueues are async and
+nearly free, so the cascade is organized into *stages*: every (profile
+chunk x sequence bucket) kernel for a stage is enqueued back-to-back, the
+stage's outputs are concatenated on device, and ONE fetch brings the whole
+stage back.  Survivor gathers between stages happen on device (indexed by
+a small uploaded row vector), never by re-uploading sequence data.
 """
 
 from __future__ import annotations
@@ -15,6 +23,8 @@ from __future__ import annotations
 import math
 import numpy as np
 from typing import Iterable, List, Optional, Sequence
+
+import jax.numpy as jnp
 
 from .easel.alphabet import Alphabet
 from .easel.sequence import DigitalSequence, DigitalSequenceBlock
@@ -46,7 +56,7 @@ class _Buckets:
     def __init__(self, block: DigitalSequenceBlock, area: int = DEFAULT_BUCKET_AREA):
         lengths = np.array([len(s) for s in block], dtype=np.int64)
         fill = block.alphabet.nonresidue_code
-        self.buckets = []   # (indices[B], codes[B, Lmax], lengths[B])
+        self.buckets = []   # (indices[B], codes[B, Lmax], lengths[B], dev)
         ladder = [512 << (2 * k) for k in range(5)]   # 512 .. 131072
         for li, Lmax in enumerate(ladder):
             lo = 0 if li == 0 else ladder[li - 1]
@@ -70,24 +80,103 @@ class _Buckets:
                     [idx.astype(np.int64), codes, blens, None])
 
 
-def _pad_select(codes, lengths, bsel):
-    """Gather survivor rows padded up a small batch-size ladder so the
-    Viterbi/Forward stages reuse a bounded set of kernel shapes."""
-    n = len(bsel)
-    Bp = _pad_b(n)
-    csel = np.zeros((Bp, codes.shape[1]), dtype=codes.dtype)
-    lsel = np.zeros(Bp, dtype=lengths.dtype)
-    csel[:n] = codes[bsel]
-    lsel[:n] = lengths[bsel]
-    return csel, lsel, n
-
-
 def _pad_b(n: int) -> int:
     """Pad a batch size up a small ladder to bound compilation count."""
     for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096):
         if n <= b:
             return b
     return B.round_up(n, 4096)
+
+
+def _fetch_all(parts: List) -> List[np.ndarray]:
+    """Fetch many device arrays in a single device->host transfer.
+
+    Per-array fetches pay a full round trip each on tunneled TPU setups;
+    one concatenated transfer costs the same as the largest single one."""
+    if not parts:
+        return []
+    if len(parts) == 1:
+        return [np.asarray(parts[0])]
+    flats = [p.ravel() for p in parts]
+    buf = np.asarray(jnp.concatenate(flats))
+    out, off = [], 0
+    for p in parts:
+        n = int(np.prod(p.shape))
+        out.append(buf[off: off + n].reshape(p.shape))
+        off += n
+    return out
+
+
+def _gather_rows(dev: "B.SeqDevice", rows: np.ndarray):
+    """Device-side gather of survivor rows from a bucket, padded up the
+    batch ladder.  Returns (codes, mask, loop, move) device arrays."""
+    n = len(rows)
+    Bp = _pad_b(n)
+    ridx = np.zeros(Bp, dtype=np.int32)
+    ridx[:n] = rows
+    ridx_d = jnp.asarray(ridx)
+    codes = jnp.take(dev.codes, ridx_d, axis=0)
+    mask = jnp.take(dev.mask_b, ridx_d, axis=0)
+    if n < Bp:
+        rowvalid = jnp.asarray(np.arange(Bp) < n)
+        mask = mask & rowvalid[:, None]
+    loop = jnp.take(dev.loop, ridx_d)
+    move = jnp.take(dev.move, ridx_d)
+    return codes, mask, loop, move, n
+
+
+class _ChunkState:
+    """Per-chunk (stack of <= p_max same-Mp profiles) search state."""
+
+    def __init__(self, engine: "SearchEngine", queries, chunk, Mp):
+        bg = engine.background
+        self.chunk = chunk
+        self.pipelines = []
+        self.profs, self.profs_uni = [], []
+        for qi in chunk:
+            hmm = queries[qi]
+            pli = Pipeline(engine.alphabet, bg.copy(), **engine.options)
+            pli.nmodels = 1
+            pli.nnodes = hmm.M
+            prof = Profile(hmm.M, hmm.alphabet).configure(
+                hmm, pli.background, 400, multihit=True)
+            prof_uni = Profile(hmm.M, hmm.alphabet).configure(
+                hmm, pli.background, 400, multihit=False)
+            pli.background.set_filter(hmm.M, prof.compo)
+            if pli.bit_cutoffs_mode is not None:
+                idx = {"gathering": 0, "trusted": 2,
+                       "noise": 4}[pli.bit_cutoffs_mode]
+                c = hmm.cutoffs
+                if c[idx] <= -99998.0:
+                    raise ValueError(
+                        f"model {hmm.name!r} has no "
+                        f"{pli.bit_cutoffs_mode} cutoffs")
+                pli.bit_cutoffs = (float(c[idx]), float(c[idx + 1]))
+            self.pipelines.append(pli)
+            self.profs.append(prof)
+            self.profs_uni.append(prof_uni)
+
+        # pad the profile stack up a small ladder so kernel P-shapes are
+        # shared across chunks (bounds XLA compilation count)
+        self.Preal = len(chunk)
+        Ppad = 1
+        while Ppad < self.Preal:
+            Ppad *= 2
+        profs_padded = self.profs + [self.profs[0]] * (Ppad - self.Preal)
+        self.pb = B.ProfileBatch(profs_padded, Mp=Mp)
+        self.ev = np.stack([p.evparam.astype(np.float64)
+                            for p in self.profs])  # [Preal, 6]
+        self.F1 = np.array([pli.F1 for pli in self.pipelines])[:, None]
+        self.F2 = np.array([pli.F2 for pli in self.pipelines])[:, None]
+        self.F3 = np.array([pli.F3 for pli in self.pipelines])[:, None]
+
+        self.tophits = []
+        for pi, qi in enumerate(chunk):
+            th = TopHits()
+            th.query_name = self.profs[pi].name
+            th.query_accession = self.profs[pi].accession
+            th.query_length = self.profs[pi].M
+            self.tophits.append(th)
 
 
 class SearchEngine:
@@ -105,18 +194,69 @@ class SearchEngine:
         self.use_pallas = use_pallas
         self.options = pipeline_options
 
-    def _msv(self, pb, codes, lengths, dev):
+    # -- device-side stage kernels (return device arrays, no fetch) --------
+
+    def _msv_dev(self, pb, dev):
+        """Returns (dx, ovf) device arrays [P, B] f32 (pre-scale)."""
         if self.use_pallas:
-            from .ops.msv_pallas import msv_scores_pallas
-            return msv_scores_pallas(pb, codes, lengths, dev=dev)
-        return B.msv_scores(pb, codes, lengths, dev=dev)
+            from .ops.msv_pallas import _msv_pallas, KP_PAD
+            P = pb.P
+            Mp = ((pb.Mp + 127) // 128) * 128
+            if "pallas_adj" not in pb._device_cache:
+                adj = np.full((P, KP_PAD, Mp), -255.0, dtype=np.float32)
+                adj[:, : pb.Kp, : pb.Mp] = (pb.msv_bias[:, None, None]
+                                            - pb.msv_cost)
+                scal = np.stack(
+                    [pb.msv_bias, pb.msv_tec, pb.msv_tbm,
+                     np.zeros(P, np.float32)], axis=1).astype(np.float32)
+                pb._device_cache["pallas_adj"] = jnp.asarray(adj)
+                pb._device_cache["pallas_scal"] = jnp.asarray(scal)
+            return _msv_pallas(dev.codes_t, pb._device_cache["pallas_adj"],
+                               dev.tjb_col, pb._device_cache["pallas_scal"])
+        from .ops.batch import _msv_kernel
+        dx, ovf = _msv_kernel(
+            dev.codes, dev.mask_f,
+            *pb.device("msv_cost", "msv_bias", "msv_tec", "msv_tbm"),
+            dev.tjb, pb.Kp)
+        return dx, ovf.astype(jnp.float32)
+
+    def _bias_dev(self, pb, dev):
+        """Bias-filter log score (no null term) device array [P, B]."""
+        from .ops.batch import _bias_scan
+        mean1 = 10.0
+        t11 = np.float32(mean1 / (mean1 + 1.0))
+        return _bias_scan(dev.codes, dev.mask_b,
+                          *pb.device("filter_odds"), dev.p1, t11, pb.Kp)
+
+    def _forward_dev(self, pb, dev, rows):
+        from .ops.batch import _forward_kernel
+        codes, mask, loop, move, n = _gather_rows(dev, rows)
+        xEj = np.float32(np.log(0.5))
+        out = _forward_kernel(
+            codes, mask,
+            *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD", "tDD",
+                       "tBM", "tMI", "tII", "kmask"),
+            xEj, xEj, loop, move, pb.Kp)
+        return out, n
+
+    def _viterbi_dev(self, pb, dev, rows):
+        from .ops.batch import _viterbi_kernel
+        codes, mask, loop, move, n = _gather_rows(dev, rows)
+        xEj = np.float32(np.log(0.5))
+        out = _viterbi_kernel(
+            codes, mask,
+            *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD", "tDD",
+                       "tBM", "tMI", "tII", "kmask"),
+            xEj, xEj, loop, move, pb.Kp)
+        return out, n
+
+    # -- driver -------------------------------------------------------------
 
     def search(self, queries: Sequence[HMM], targets: DigitalSequenceBlock,
                callback=None) -> List[TopHits]:
         """Run hmmsearch for every query HMM; returns one TopHits each,
         in input order, identical to the sequential pipeline's output."""
         queries = list(queries)
-        ntargets = len(targets)
         buckets = _Buckets(targets)
         results: List[Optional[TopHits]] = [None] * len(queries)
 
@@ -129,158 +269,166 @@ class SearchEngine:
             Mp = B.round_up(hmm.M, 256)
             groups.setdefault(Mp, []).append(qi)
 
+        states: List[_ChunkState] = []
         for Mp, qidx in sorted(groups.items()):
             for c0 in range(0, len(qidx), self.p_max):
-                chunk = qidx[c0: c0 + self.p_max]
-                self._search_chunk(queries, chunk, targets, buckets,
-                                   ntargets, results, callback, Mp)
-        return results  # type: ignore[return-value]
-
-    # -- internals ----------------------------------------------------------
-
-    def _search_chunk(self, queries, chunk, targets, buckets, ntargets,
-                      results, callback, Mp):
-        bg = self.background
-        pipelines = []
-        profs, profs_uni = [], []
-        for qi in chunk:
-            hmm = queries[qi]
-            pli = Pipeline(self.alphabet, bg.copy(), **self.options)
-            pli.nmodels = 1
-            pli.nnodes = hmm.M
-            prof = Profile(hmm.M, hmm.alphabet).configure(hmm, pli.background,
-                                                          400, multihit=True)
-            prof_uni = Profile(hmm.M, hmm.alphabet).configure(
-                hmm, pli.background, 400, multihit=False)
-            pli.background.set_filter(hmm.M, prof.compo)
-            if pli.bit_cutoffs_mode is not None:
-                idx = {"gathering": 0, "trusted": 2,
-                       "noise": 4}[pli.bit_cutoffs_mode]
-                c = hmm.cutoffs
-                if c[idx] <= -99998.0:
-                    raise ValueError(
-                        f"model {hmm.name!r} has no "
-                        f"{pli.bit_cutoffs_mode} cutoffs")
-                pli.bit_cutoffs = (float(c[idx]), float(c[idx + 1]))
-            pipelines.append(pli)
-            profs.append(prof)
-            profs_uni.append(prof_uni)
-
-        # pad the profile stack up a small ladder so kernel P-shapes are
-        # shared across chunks (bounds XLA compilation count)
-        Preal = len(chunk)
-        Ppad = 1
-        while Ppad < Preal:
-            Ppad *= 2
-        profs_padded = profs + [profs[0]] * (Ppad - Preal)
-        pb = B.ProfileBatch(profs_padded, Mp=Mp)
-        ev = np.stack([p.evparam.astype(np.float64) for p in profs])  # [Preal,6]
-
-        tophits = []
-        for pi, qi in enumerate(chunk):
-            th = TopHits()
-            th.query_name = profs[pi].name
-            th.query_accession = profs[pi].accession
-            th.query_length = profs[pi].M
-            tophits.append(th)
+                states.append(_ChunkState(self, queries,
+                                          qidx[c0: c0 + self.p_max], Mp))
 
         for bucket in buckets.buckets:
             idx, codes, lengths, dev = bucket
             if dev is None:
-                dev = B.SeqDevice(codes, lengths)
-                bucket[3] = dev
+                bucket[3] = B.SeqDevice(codes, lengths)
+
+        # ---- stage 1 (device): MSV + bias for every (chunk x bucket) ----
+        s1_jobs = []     # (ci, bi)
+        s1_parts = []    # device arrays, 3 per job: dx, ovf, bias-logsc
+        for ci, st in enumerate(states):
+            for bi, bucket in enumerate(buckets.buckets):
+                dev = bucket[3]
+                dx, ovf = self._msv_dev(st.pb, dev)
+                logsc = self._bias_dev(st.pb, dev)
+                s1_jobs.append((ci, bi))
+                s1_parts.extend([dx, ovf, logsc])
+        s1_np = _fetch_all(s1_parts)
+
+        # ---- stage 1 (host): gates, accounting, survivor selection ----
+        # per (ci, bi): dict entries used by later stages
+        ctx: dict = {}
+        s2_jobs = []     # (ci, bi, bsel)
+        s2_parts = []
+        for j, (ci, bi) in enumerate(s1_jobs):
+            st = states[ci]
+            Preal = st.Preal
+            idx, codes, lengths, dev = buckets.buckets[bi]
+            dx = s1_np[3 * j][:Preal].astype(np.float64)
+            ovf = s1_np[3 * j + 1][:Preal]
+            logsc = s1_np[3 * j + 2][:Preal].astype(np.float64)
+
             nres = int(lengths.sum())
             nseq_real = int((lengths > 0).sum())
-            for pli in pipelines:
+            for pli in st.pipelines:
                 pli.nseqs += nseq_real
                 pli.nres += nres
 
             valid_b = lengths > 0
             L = np.maximum(lengths.astype(np.float64), 1.0)
-            nullsc = L * np.log(L / (L + 1.0)) + np.log(1.0 / (L + 1.0))  # [B]
+            nullsc = (L * np.log(L / (L + 1.0))
+                      + np.log(1.0 / (L + 1.0)))          # [B]
+            usc = dx / st.pb.scale_b - 3.0
+            usc[ovf > 0] = np.inf
+            filtersc = logsc + nullsc[None, :]
 
-            # stage 1: quantized MSV, all pairs (Pallas kernel on TPU)
-            usc = self._msv(pb, codes, lengths, dev)[:Preal]        # [P, B]
             P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
-                             ev[:, 0:1], ev[:, 1:2])
-            pass1 = ((P1 <= np.array([pli.F1 for pli in pipelines])[:, None])
-                     & valid_b[None, :])
-            if not pass1.any():
-                continue
-
-            # stage 2: bias filter for sequences that passed MSV anywhere
-            filtersc = B.bias_filter_scores(pb, codes, lengths,
-                                            dev)[:Preal]
+                             st.ev[:, 0:1], st.ev[:, 1:2])
+            pass1 = (P1 <= st.F1) & valid_b[None, :]
             P1b = gumbel_surv((usc - filtersc) / LOG2,
-                              ev[:, 0:1], ev[:, 1:2])
-            pass2 = pass1 & (P1b <= np.array(
-                [pli.F1 for pli in pipelines])[:, None])
-            for pi, pli in enumerate(pipelines):
+                              st.ev[:, 0:1], st.ev[:, 1:2])
+            pass2 = pass1 & (P1b <= st.F1)
+            for pi, pli in enumerate(st.pipelines):
                 pli.n_past_msv += int(pass1[pi].sum())
                 pli.n_past_bias += int(pass2[pi].sum())
             if not pass2.any():
                 continue
-
-            # stage 3+4 reordered for dispatch economy: Forward runs on the
-            # bias survivors, and the (strict-F2) Viterbi gate is evaluated
-            # afterwards only for the rare Forward survivors that did not
-            # skip Viterbi -- the gate predicates are independent, so the
-            # surviving set is identical to the reference's
-            # MSV->bias->Viterbi->Forward order.
-            F2 = np.array([pli.F2 for pli in pipelines])[:, None]
-            F3 = np.array([pli.F3 for pli in pipelines])[:, None]
-            skip_vit = P1b <= F2
             bsel = np.where(pass2.any(axis=0))[0]
-            csel, lsel, nsel = _pad_select(codes, lengths, bsel)
-            fsc = B.forward_scores(pb, csel, lsel)[:Preal, :nsel]
-            P3 = exp_surv((fsc - filtersc[:, bsel]) / LOG2,
-                          ev[:, 4:5], ev[:, 5:6])
-            pass_fwd = pass2[:, bsel] & (P3 <= F3 * F3_SLACK)
-            need_vit = pass_fwd & ~skip_vit[:, bsel]
+            ctx[(ci, bi)] = dict(usc=usc, filtersc=filtersc, nullsc=nullsc,
+                                 pass2=pass2, P1b=P1b, bsel=bsel)
+            s2_jobs.append((ci, bi))
+
+        # ---- stage 2 (device): Forward over bias survivors ----
+        # (reordered vs the reference's MSV->bias->Vit->Fwd: Forward runs
+        # on the bias survivors and the strict-F2 Viterbi gate is applied
+        # afterwards only where P1b did not already skip it -- the gate
+        # predicates are independent, so the surviving set is identical)
+        for ci, bi in s2_jobs:
+            st = states[ci]
+            dev = buckets.buckets[bi][3]
+            fsc_dev, nsel = self._forward_dev(st.pb, dev, ctx[(ci, bi)]["bsel"])
+            ctx[(ci, bi)]["nsel"] = nsel
+            s2_parts.append(fsc_dev)
+        s2_np = _fetch_all(s2_parts)
+
+        s3_jobs = []
+        s3_parts = []
+        for j, (ci, bi) in enumerate(s2_jobs):
+            st = states[ci]
+            c = ctx[(ci, bi)]
+            Preal = st.Preal
+            bsel, nsel = c["bsel"], c["nsel"]
+            fsc = s2_np[j][:Preal, :nsel].astype(np.float64)
+            P3 = exp_surv((fsc - c["filtersc"][:, bsel]) / LOG2,
+                          st.ev[:, 4:5], st.ev[:, 5:6])
+            pass_fwd = c["pass2"][:, bsel] & (P3 <= st.F3 * F3_SLACK)
+            skip_vit = c["P1b"][:, bsel] <= st.F2
+            need_vit = pass_fwd & ~skip_vit
+            c["pass_fwd"] = pass_fwd
+            c["need_vit"] = need_vit
+            for pi, pli in enumerate(st.pipelines):
+                pli.n_past_vit += int((c["pass2"][pi, bsel]
+                                       & skip_vit[pi]).sum())
             if need_vit.any():
                 vcols = np.where(need_vit.any(axis=0))[0]
-                cv, lv, nv = _pad_select(csel, lsel, vcols)
-                vsc = B.viterbi_scores(pb, cv, lv)[:Preal, :nv]
-                P2 = gumbel_surv((vsc - filtersc[:, bsel][:, vcols]) / LOG2,
-                                 ev[:, 2:3], ev[:, 3:4])
-                keep = P2 <= F2
-                pass_fwd[:, vcols] &= (~need_vit[:, vcols]) | keep
-            pass4 = pass_fwd
-            for pi, pli in enumerate(pipelines):
-                pli.n_past_vit += int((pass2[pi] & (skip_vit[pi] |
-                                                    np.isin(np.arange(len(skip_vit[pi])), bsel))).sum())
+                c["vcols"] = vcols
+                dev = buckets.buckets[bi][3]
+                vsc_dev, nv = self._viterbi_dev(st.pb, dev, bsel[vcols])
+                c["nv"] = nv
+                s3_jobs.append((ci, bi))
+                s3_parts.append(vsc_dev)
+        s3_np = _fetch_all(s3_parts)
 
-            # stage 5: exact float64 postprocessing per survivor
-            for pi, pli in enumerate(pipelines):
-                for col in np.where(pass4[pi])[0]:
+        for j, (ci, bi) in enumerate(s3_jobs):
+            st = states[ci]
+            c = ctx[(ci, bi)]
+            Preal = st.Preal
+            bsel, vcols = c["bsel"], c["vcols"]
+            vsc = s3_np[j][:Preal, : c["nv"]].astype(np.float64)
+            P2 = gumbel_surv((vsc - c["filtersc"][:, bsel][:, vcols]) / LOG2,
+                             st.ev[:, 2:3], st.ev[:, 3:4])
+            keep = P2 <= st.F2
+            c["pass_fwd"][:, vcols] &= (~c["need_vit"][:, vcols]) | keep
+            for pi, pli in enumerate(st.pipelines):
+                pli.n_past_vit += int((c["need_vit"][pi, vcols]
+                                       & keep[pi]).sum())
+
+        # ---- stage 4 (host): exact float64 postprocessing per survivor ----
+        for ci, bi in s2_jobs:
+            st = states[ci]
+            c = ctx[(ci, bi)]
+            idx, codes, lengths, dev = buckets.buckets[bi]
+            bsel = c["bsel"]
+            for pi, pli in enumerate(st.pipelines):
+                for col in np.where(c["pass_fwd"][pi])[0]:
                     b = int(bsel[col])
                     sq = targets[int(idx[b])]
                     Lb = int(lengths[b])
                     pli.background.set_length(Lb)
-                    profs[pi].reconfig_length(Lb)
-                    profs_uni[pi].reconfig_length(Lb)
-                    fwd = refops.forward(profs[pi], sq.sequence)
+                    st.profs[pi].reconfig_length(Lb)
+                    st.profs_uni[pi].reconfig_length(Lb)
+                    fwd = refops.forward(st.profs[pi], sq.sequence)
                     # re-check the gate with the exact forward score so the
                     # batched path agrees with the sequential oracle
-                    Px = float(exp_surv((fwd.score - filtersc[pi, b]) / LOG2,
-                                        ev[pi, 4], ev[pi, 5]))
+                    Px = float(exp_surv(
+                        (fwd.score - c["filtersc"][pi, b]) / LOG2,
+                        st.ev[pi, 4], st.ev[pi, 5]))
                     if Px > pli.F3 * F3_SLACK:
                         continue
                     pli.n_past_fwd += 1
-                    pli._finish_target(profs[pi], profs_uni[pi], sq,
-                                       tophits[pi], fwd, float(nullsc[b]))
+                    pli._finish_target(st.profs[pi], st.profs_uni[pi], sq,
+                                       st.tophits[pi], fwd,
+                                       float(c["nullsc"][b]))
 
-        out = []
-        for pi, qi in enumerate(chunk):
-            pli = pipelines[pi]
-            if pli.Z_setby == "ntargets":
-                pli.Z = float(pli.nseqs)
-            th = tophits[pi]
-            th._take_accounting(pli)
-            th.bit_cutoffs = pli.bit_cutoffs
-            th.sort_by_key()
-            th.threshold()
-            results[qi] = th
-            if callback is not None:
-                callback(queries[qi], len(chunk))
-        return results
+        # ---- finalize ----
+        for st in states:
+            for pi, qi in enumerate(st.chunk):
+                pli = st.pipelines[pi]
+                if pli.Z_setby == "ntargets":
+                    pli.Z = float(pli.nseqs)
+                th = st.tophits[pi]
+                th._take_accounting(pli)
+                th.bit_cutoffs = pli.bit_cutoffs
+                th.sort_by_key()
+                th.threshold()
+                results[qi] = th
+                if callback is not None:
+                    callback(queries[qi], len(queries))
+        return results  # type: ignore[return-value]

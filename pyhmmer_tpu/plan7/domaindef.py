@@ -527,34 +527,23 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
         samples_of.setdefault(sp, set()).add(s_idx)
     uspans = sorted(uniq)
     n = len(uspans)
-    parent = list(range(n))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[rx] = ry
-
+    # single-linkage = connected components of the pairwise-overlap graph;
+    # built fully vectorized (n is a few thousand at most) and labeled in C
+    # via scipy instead of a per-pair Python union-find
+    clusters: dict = {}
     if n:
         a = np.array([s[0] for s in uspans])
         b = np.array([s[1] for s in uspans])
         ln = b - a + 1
-        for u in range(n):
-            ov = np.minimum(b[u], b) - np.maximum(a[u], a) + 1
-            linked = (ov > 0) & (ov >= min_overlap * np.minimum(ln[u], ln))
-            for v in np.where(linked)[0]:
-                if v >= u:
-                    break
-                union(u, v)
-
-    clusters: dict = {}
-    for t in range(n):
-        clusters.setdefault(find(t), []).append(t)
+        ov = (np.minimum(b[:, None], b[None, :])
+              - np.maximum(a[:, None], a[None, :]) + 1)
+        linked = (ov > 0) & (ov >= min_overlap * np.minimum(ln[:, None],
+                                                            ln[None, :]))
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import connected_components
+        _, labels = connected_components(csr_matrix(linked), directed=False)
+        for t in range(n):
+            clusters.setdefault(int(labels[t]), []).append(t)
 
     envs: List[Tuple[int, int]] = []
     for members in clusters.values():

@@ -14,6 +14,14 @@ import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# the environment's sitecustomize registers the axon TPU plugin and calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# clobbering the env var above -- force CPU back through the config API so
+# tests never touch the (single, shared) TPU tunnel
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 DATA = pathlib.Path("/root/reference/src/pyhmmer/tests/data")
