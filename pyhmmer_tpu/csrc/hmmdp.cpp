@@ -490,4 +490,53 @@ int32_t hmmdp_stotrace(
     return nspans;
 }
 
+// ---------------------------------------------------------------------------
+// SSV seeding for the long-targets (nhmmer) pipeline
+// ---------------------------------------------------------------------------
+//
+// Quantized single-segment Viterbi scan over a long window: the per-row
+// diagonal maximum is compared against a precomputed threshold (uint8 MSV
+// units); rows where it crosses are reported as seed positions and the DP
+// state is reset so one strong diagonal yields one seed burst instead of
+// flooding the output.  The caller extends seeds by max_length and merges
+// them into subwindows (p7_SSVFilter_longtarget +
+// p7_pli_ExtendAndMergeWindows roles).
+
+int64_t hmmdp_ssv_seed(
+    const uint8_t* dsq, int64_t L,
+    const int32_t* cost,     // [Kp, M] quantized biased emission costs
+    int32_t bias_b, int32_t xBv,   // fixed diagonal entry value
+    int32_t thresh,          // report rows where max_k sv >= thresh
+    int32_t M, int32_t Kp,
+    int64_t* pos_out, int64_t max_out) {
+    (void)Kp;
+    int16_t* mpv = new int16_t[M]();
+    int16_t* nv = new int16_t[M];
+    int64_t n = 0;
+    const int16_t entry = (int16_t)std::min(xBv + bias_b, 255);
+    for (int64_t i = 1; i <= L; i++) {
+        const int32_t* c = cost + (size_t)dsq[i - 1] * M;
+        int16_t mx = 0;
+        int16_t v0 = (int16_t)std::max(entry - c[0], 0);
+        mx = v0;
+        int16_t prev_shift;
+        for (int k = M - 1; k >= 1; k--) {
+            prev_shift = mpv[k - 1] > xBv ? mpv[k - 1] : (int16_t)xBv;
+            int16_t v = (int16_t)std::min(prev_shift + bias_b, 255) - (int16_t)c[k];
+            if (v < 0) v = 0;
+            nv[k] = v;
+            if (v > mx) mx = v;
+        }
+        nv[0] = v0;
+        if (mx >= thresh) {
+            if (n < max_out) pos_out[n] = i;
+            n++;
+            std::memset(nv, 0, sizeof(int16_t) * M);
+        }
+        std::swap(mpv, nv);
+    }
+    delete[] mpv; delete[] nv;
+    return n < max_out ? n : max_out;
+}
+
 }  // extern "C"

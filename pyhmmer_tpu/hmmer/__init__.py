@@ -245,11 +245,43 @@ def hmmpress(hmms, output: Union[str, os.PathLike]) -> int:
     return n
 
 
-def nhmmer(queries, sequences, *, cpus: int = 0, callback=None, **options):
-    """DNA search with the long-targets pipeline (``pyhmmer.nhmmer``).
+def nhmmer(queries, sequences, *, cpus: int = 0, callback=None,
+           builder: Optional[Builder] = None, **options
+           ) -> Iterator[TopHits]:
+    """Search DNA/RNA queries against long nucleotide targets with the
+    long-targets pipeline (``pyhmmer.nhmmer``, reference
+    ``hmmer/_nhmmer.py:140-243``).  Queries may be `HMM`,
+    `DigitalSequence`, or `DigitalMSA` objects (sequence/MSA queries are
+    built into HMMs with nhmmer's window parameters)."""
+    from ..plan7.longtargets import LongTargetsPipeline
+    from ..easel.msa import DigitalMSA as _DMSA
+    if isinstance(queries, (HMM, DigitalSequence, _DMSA)):
+        queries = [queries]
+    queries = list(queries)
+    if not queries:
+        return iter(())
+    alphabet = getattr(queries[0], "alphabet", None)
+    block = _target_block(sequences)
+    window_length = options.get("window_length")
+    window_beta = options.get("window_beta")
 
-    Not implemented yet: requires LongTargetsPipeline (windowed scan of
-    arbitrarily long DNA targets, SURVEY.md §3.4).
-    """
-    raise NotImplementedError(
-        "nhmmer requires the LongTargetsPipeline (planned; see SURVEY.md)")
+    def run():
+        for qi, q in enumerate(queries):
+            pli = LongTargetsPipeline(block.alphabet, **options)
+            if isinstance(q, HMM):
+                th = pli.search_hmm(q, block)
+            elif isinstance(q, _DMSA):
+                bld = (builder or Builder(
+                    block.alphabet, window_length=window_length,
+                    window_beta=window_beta)).copy()
+                th = pli.search_msa(q, block, builder=bld)
+            else:
+                bld = (builder or Builder(
+                    block.alphabet, window_length=window_length,
+                    window_beta=window_beta)).copy()
+                th = pli.search_seq(q, block, builder=bld)
+            if callback is not None:
+                callback(q, len(queries))
+            yield th
+
+    return run()

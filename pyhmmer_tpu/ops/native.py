@@ -87,8 +87,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I32P, _I32, _D,
     ]
     lib.hmmdp_stotrace.restype = ctypes.c_int32
+    _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    lib.hmmdp_ssv_seed.argtypes = [
+        _U8, ctypes.c_int64,
+        _I32P,                          # cost [Kp, M]
+        _I32, _I32, _I32,               # bias_b, xBv, thresh
+        _I32, _I32,                     # M, Kp
+        _I64P, ctypes.c_int64,
+    ]
+    lib.hmmdp_ssv_seed.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def ssv_seed(quant, dsq: np.ndarray, xBv: int, thresh: int,
+             max_out: int = 1 << 20) -> np.ndarray:
+    """Seed positions (1-based row indices) where the quantized SSV
+    diagonal maximum crosses ``thresh``.  ``quant`` is an
+    ``ops.quantize.MSVQuant``."""
+    lib = get_lib()
+    pos = np.zeros(max_out, dtype=np.int64)
+    cost = np.ascontiguousarray(quant.cost, dtype=np.int32)
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    n = lib.hmmdp_ssv_seed(dsq8, len(dsq8), cost, int(quant.bias_b),
+                           int(xBv), int(thresh), quant.M,
+                           cost.shape[0], pos, max_out)
+    return pos[:n]
 
 
 class ProfTensors:

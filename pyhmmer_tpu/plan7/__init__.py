@@ -6,6 +6,7 @@ from .background import Background
 from .profile import Profile
 from .builder import Builder
 from .pipeline import Pipeline
+from .longtargets import LongTargetsPipeline
 from .results import TopHits, Hit, Domain, Alignment
 from .optimized import OptimizedProfile, OptimizedProfileBlock, HMMPressedFile
 from .iteration import IterativeSearch, IterationResult
@@ -13,7 +14,7 @@ from .tracealign import TraceAligner, Trace, Traces
 
 __all__ = [
     "HMM", "HMMFile", "Transitions", "Background", "Profile", "Builder",
-    "Pipeline", "TopHits", "Hit", "Domain", "Alignment",
+    "Pipeline", "LongTargetsPipeline", "TopHits", "Hit", "Domain", "Alignment",
     "OptimizedProfile", "OptimizedProfileBlock", "HMMPressedFile",
     "IterativeSearch", "IterationResult", "TraceAligner", "Trace", "Traces",
 ]

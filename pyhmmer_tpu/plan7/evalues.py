@@ -8,7 +8,16 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["gumbel_surv", "exp_surv", "gumbel_logsurv", "exp_logsurv"]
+__all__ = ["gumbel_surv", "exp_surv", "gumbel_logsurv", "exp_logsurv",
+           "gumbel_invsurv"]
+
+
+def gumbel_invsurv(p, mu, lam):
+    """x such that P(S > x) = p for a Gumbel distribution
+    (``esl_gumbel_invsurv``)."""
+    p = np.asarray(p, dtype=np.float64)
+    # invert 1 - exp(-exp(-lam (x - mu))) = p
+    return mu - np.log(-np.log1p(-p)) / lam
 
 
 def gumbel_surv(x, mu, lam):

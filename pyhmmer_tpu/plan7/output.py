@@ -50,7 +50,7 @@ def write_targets(th, fh, header: bool = True) -> None:
                      taw, (h.accession or b"-").decode(),
                      qnw, qname.decode(), qaw, qacc.decode(),
                      h.evalue, h.score, h.bias,
-                     bd.i_evalue, bd.score, bd.bias / math.log(2),
+                     bd.i_evalue, bd.score, bd.bias,
                      h.nexpected, h.nregions, h.nclustered, h.noverlaps,
                      h.nenvelopes, h.ndom, h.nreported, h.nincluded,
                      (h.description or b"-").decode()))
@@ -99,7 +99,7 @@ def write_domains(th, fh, header: bool = True) -> None:
                          th.query_length,
                          h.evalue, h.score, h.bias,
                          di + 1, nd, d.c_evalue, d.i_evalue, d.score,
-                         d.bias / math.log(2),
+                         d.bias,
                          a.hmm_from, a.hmm_to, d.ali_from, d.ali_to,
                          d.env_from, d.env_to, min(acc, 1.0),
                          (h.description or b"-").decode()))

@@ -156,7 +156,12 @@ class Profile:
 
     def copy(self) -> "Profile":
         import copy as _copy
-        return _copy.deepcopy(self)
+        out = _copy.deepcopy(self)
+        # drop cached native score tensors: a copied profile is usually
+        # copied to be mutated, and the cache would silently serve the
+        # original's scores to the native kernels
+        out.__dict__.pop("_native_tensors", None)
+        return out
 
     def to_optimized(self):
         from .optimized import OptimizedProfile

@@ -60,9 +60,12 @@ class Domain:
         self.ali_from = ali_from
         self.ali_to = ali_to
         self.score = score                       # bits
-        self.bias = bias                         # nats (dombias)
-        self.correction = correction             # nats (domcorrection)
-        self.envelope_score = envelope_score     # nats
+        # constructor takes nats (pipeline internals); the public
+        # attributes are in bits like the reference's properties
+        # (``plan7.pyx:1535-1555``: dombias/domcorrection/envsc * LOG2R)
+        self.bias = bias / LOG2
+        self.correction = correction / LOG2
+        self.envelope_score = envelope_score / LOG2
         self.oasc = oasc
         self.lnP = lnP
         self.alignment = alignment
