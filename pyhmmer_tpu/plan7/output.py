@@ -16,6 +16,8 @@ def _w(items, header):
 
 
 def write_targets(th, fh, header: bool = True) -> None:
+    if getattr(th, "long_targets", False):
+        return _write_targets_long(th, fh, header)
     hits = [h for h in th.hits if h.reported]
     qname = th.query_name or b"-"
     qacc = th.query_accession or b"-"
@@ -53,6 +55,47 @@ def write_targets(th, fh, header: bool = True) -> None:
                      bd.i_evalue, bd.score, bd.bias,
                      h.nexpected, h.nregions, h.nclustered, h.noverlaps,
                      h.nenvelopes, h.ndom, h.nreported, h.nincluded,
+                     (h.description or b"-").decode()))
+
+
+def _write_targets_long(th, fh, header: bool = True) -> None:
+    """nhmmer ``--tblout`` layout (``p7_tophits_TabularTargets`` with
+    ``pli->long_targets``): per-hit hmm/ali/env coordinates, sequence
+    length and strand instead of the domain-number columns."""
+    hits = [h for h in th.hits if h.reported]
+    qname = th.query_name or b"-"
+    qacc = th.query_accession or b"-"
+    tnw = _w([h.name for h in hits], "target name")
+    taw = _w([h.accession for h in hits], "accession")
+    qnw = max(len("query name"), len(qname))
+    qaw = max(len("accession"), len(qacc))
+    if header:
+        fh.write("#%-*s %-*s %-*s %-*s %7s %7s %7s %7s %7s %7s %7s %6s "
+                 "%9s %6s %5s %s\n" % (
+                     tnw - 1, " target name", taw, "accession",
+                     qnw, "query name", qaw, "accession",
+                     "hmmfrom", "hmm to", "alifrom", "ali to",
+                     "envfrom", "env to", "sq len", "strand",
+                     "E-value", "score", "bias",
+                     "description of target"))
+        fh.write("#%*s %*s %*s %*s %7s %7s %7s %7s %7s %7s %7s %6s %9s "
+                 "%6s %5s %s\n" % (
+                     tnw - 1, "-" * (tnw - 1), taw, "-" * taw,
+                     qnw, "-" * qnw, qaw, "-" * qaw,
+                     "-" * 7, "-" * 7, "-" * 7, "-" * 7, "-" * 7, "-" * 7,
+                     "-" * 7, "-" * 6, "-" * 9, "-" * 6, "-" * 5, "-" * 21))
+    for h in hits:
+        d = h.best_domain
+        a = d.alignment
+        strand = "+" if d.ali_from <= d.ali_to else "-"
+        fh.write("%-*s %-*s %-*s %-*s %7d %7d %7d %7d %7d %7d %7d %6s "
+                 "%9.2g %6.1f %5.1f %s\n" % (
+                     tnw, (h.name or b"-").decode(),
+                     taw, (h.accession or b"-").decode(),
+                     qnw, qname.decode(), qaw, qacc.decode(),
+                     a.hmm_from, a.hmm_to, d.ali_from, d.ali_to,
+                     d.env_from, d.env_to, h.length, strand,
+                     h.evalue, h.score, h.bias,
                      (h.description or b"-").decode()))
 
 
