@@ -147,6 +147,13 @@ class DigitalSequence(Sequence):
             return self
         return DigitalSequence(self.alphabet, sequence=rc, **self._meta())
 
+    def translate(self, genetic_code=None) -> "DigitalSequence":
+        """Translate a coding nucleotide sequence to protein
+        (``DigitalSequence.translate``)."""
+        from .gencode import GeneticCode
+        gc = genetic_code or GeneticCode(nucleotide_alphabet=self.alphabet)
+        return gc.translate_sequence(self)
+
 
 class SequenceBlock:
     """List-like container of sequences (reference ``easel.pyx:8110-8816``)."""
