@@ -540,3 +540,542 @@ int64_t hmmdp_ssv_seed(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full domain definition driver (p7_domaindef_ByPosteriorHeuristics role)
+// ---------------------------------------------------------------------------
+//
+// One call per Forward-gate survivor: runs the full-sequence Forward/
+// Backward parsers, finds regions from the special-state posteriors
+// (rt1/rt2 heuristics), resolves multi-domain regions by stochastic
+// traceback clustering (rt3 + spensemble consensus), rescores every
+// envelope in unihit mode with null2 correction and an optimal-accuracy
+// alignment, and returns packed domain records + traces.  This is the
+// reference's C-side postprocessing (p7_domaindef.c, null2.c, optacc.c)
+// rebuilt for the TPU pipeline: the filters run batched on device, and
+// only the rare survivors reach this host code.
+
+namespace {
+
+constexpr double RT1_DEF = 0.25;
+
+struct Specials {
+    double xE[2], xN[2], xJ[2], xC[2];
+    void config(int Ltarget, bool multihit) {
+        double nj = multihit ? 1.0 : 0.0;
+        double pmove = (2.0 + nj) / (Ltarget + 2.0 + nj);
+        double lloop = std::log(1.0 - pmove), lmove = std::log(pmove);
+        xN[0] = xJ[0] = xC[0] = lloop;
+        xN[1] = xJ[1] = xC[1] = lmove;
+        if (multihit) { xE[0] = std::log(0.5); xE[1] = std::log(0.5); }
+        else          { xE[0] = NEGMASS;       xE[1] = 0.0; }
+    }
+};
+
+// splitmix64: derive independent per-region seeds from the pipeline seed
+inline uint64_t mix64(uint64_t z) {
+    z += 0x9E3779B97F4A7C15ULL;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+struct UnionFind {
+    int* p;
+    explicit UnionFind(int n) : p(new int[n]) { for (int i = 0; i < n; i++) p[i] = i; }
+    ~UnionFind() { delete[] p; }
+    int find(int x) { while (p[x] != x) { p[x] = p[p[x]]; x = p[x]; } return x; }
+    void unite(int a, int b) { a = find(a); b = find(b); if (a != b) p[a] = b; }
+};
+
+inline bool oa_close(double a, double b) {
+    return std::fabs(a - b) < 1e-7 * std::max(1.0, std::fabs(b)) + 1e-9;
+}
+
+struct TraceBuf {
+    int8_t* st; int32_t* k; int32_t* i; double* pp;
+    int64_t n, cap;
+    bool overflow = false;
+    void push(char s, int kk, int ii, double p) {
+        if (n >= cap) { overflow = true; return; }
+        st[n] = (int8_t)s; k[n] = kk; i[n] = ii; pp[n] = p; n++;
+    }
+    void reverse_from(int64_t start) {
+        int64_t a = start, b = n - 1;
+        while (a < b) {
+            std::swap(st[a], st[b]); std::swap(k[a], k[b]);
+            std::swap(i[a], i[b]); std::swap(pp[a], pp[b]);
+            a++; b--;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of domains written, or -1 if a buffer was too small
+// (caller falls back / retries).  out_scalars[6]:
+//   [0]=fwdsc  [1]=nexpected  [2]=nregions  [3]=nclustered
+//   [4]=noverlaps  [5]=nenvelopes
+int32_t hmmdp_domaindef(
+    const uint8_t* dsq, int32_t L,
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc,        // [Kp, W] log
+    int32_t M, int32_t K, int32_t Kp,
+    const double* odds_m, const double* odds_i,  // [K, W] odds
+    const double* degw,                          // [Kp, K] degeneracy weights
+    const uint8_t* deg_one,                      // [Kp] 1 => null2 = 1.0
+    int32_t do_null2, uint64_t seed, int32_t nsamples,
+    double rt1, double rt2, double rt3,
+    double* out_scalars,                         // [6]
+    double* n2sc,                                // [L+1], zeroed by caller
+    int32_t* dom_int,                            // [max_dom * 6]
+    double* dom_dbl,                             // [max_dom * 3]
+    int32_t max_dom,
+    int8_t* tr_st, int32_t* tr_k, int32_t* tr_i, double* tr_pp,
+    int64_t* tr_off,                             // [max_dom + 1]
+    int64_t max_tr) {
+
+    const int W = M + 1;
+    Specials sm; sm.config(L, true);    // multihit, full-length model
+    Specials su; su.config(L, false);   // unihit, full-length model
+
+    // ---- full-sequence multihit Forward/Backward parsers ----
+    double* fxN = new double[L + 1]; double* fxB = new double[L + 1];
+    double* fxE = new double[L + 1]; double* fxC = new double[L + 1];
+    double* fxJ = new double[L + 1];
+    double* bxN = new double[L + 1]; double* bxB = new double[L + 1];
+    double* bxE = new double[L + 1]; double* bxC = new double[L + 1];
+    double* bxJ = new double[L + 1];
+    double dummy[1];
+    double fwdsc = hmmdp_forward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
+                                 tMI, tII, msc, isc,
+                                 sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
+                                 fxN, fxB, fxE, fxC, fxJ,
+                                 dummy, dummy, dummy, 0);
+    hmmdp_backward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
+                   tMI, tII, msc, isc,
+                   sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
+                   bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0);
+
+    // ---- decode_specials: btot / etot / mocc ----
+    double* btot = new double[L + 1];
+    double* etot = new double[L + 1];
+    double* mocc = new double[L + 1];
+    btot[0] = etot[0] = mocc[0] = 0.0;
+    for (int i = 1; i <= L; i++) {
+        btot[i] = btot[i - 1] + std::exp(fxB[i - 1] + bxB[i - 1] - fwdsc);
+        etot[i] = etot[i - 1] + std::exp(fxE[i] + bxE[i] - fwdsc);
+        double pN = std::exp(fxN[i - 1] + sm.xN[0] + bxN[i] - fwdsc);
+        double pJ = std::exp(fxJ[i - 1] + sm.xJ[0] + bxJ[i] - fwdsc);
+        double pC = std::exp(fxC[i - 1] + sm.xC[0] + bxC[i] - fwdsc);
+        mocc[i] = 1.0 - (pN + pJ + pC);
+    }
+
+    int ndom = 0;
+    int nregions = 0, nclustered = 0, noverlaps = 0, nenvelopes = 0;
+    bool fail = false;
+    tr_off[0] = 0;
+
+    // scratch reused across rescore calls sized per window on demand
+    // (regions are typically a few hundred residues)
+
+    // ---- rescore one envelope [a..b] (1-based, inclusive) ----
+    auto rescore = [&](int a, int b, bool null2_done) -> bool {
+        if (fail || ndom >= max_dom) { fail = true; return false; }
+        const int Ld = b - a + 1;
+        const uint8_t* win = dsq + (a - 1);
+        const size_t rows = (size_t)(Ld + 1) * W;
+        double* fM = new double[rows]; double* fI = new double[rows];
+        double* fD = new double[rows];
+        double* bM = new double[rows]; double* bI = new double[rows];
+        double* bD = new double[rows];
+        double* wfxN = new double[Ld + 1]; double* wfxB = new double[Ld + 1];
+        double* wfxE = new double[Ld + 1]; double* wfxC = new double[Ld + 1];
+        double* wfxJ = new double[Ld + 1];
+        double* wbxN = new double[Ld + 1]; double* wbxB = new double[Ld + 1];
+        double* wbxE = new double[Ld + 1]; double* wbxC = new double[Ld + 1];
+        double* wbxJ = new double[Ld + 1];
+        double envsc = hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
+                                     tMI, tII, msc, isc,
+                                     su.xE, su.xN, su.xJ, su.xC, M, Kp,
+                                     wfxN, wfxB, wfxE, wfxC, wfxJ,
+                                     fM, fI, fD, 1);
+        hmmdp_backward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
+                       tMI, tII, msc, isc,
+                       su.xE, su.xN, su.xJ, su.xC, M, Kp,
+                       wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 1);
+
+        // posterior decode
+        double* ppM = new double[rows]; double* ppI = new double[rows];
+        double* ppN = new double[Ld + 1]; double* ppJ = new double[Ld + 1];
+        double* ppC = new double[Ld + 1];
+        for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0; ppI[kk] = 0.0; }
+        for (int i2 = 1; i2 <= Ld; i2++) {
+            const size_t o = (size_t)i2 * W;
+            for (int kk = 0; kk < W; kk++) {
+                ppM[o + kk] = std::exp(fM[o + kk] + bM[o + kk] - envsc);
+                ppI[o + kk] = std::exp(fI[o + kk] + bI[o + kk] - envsc);
+            }
+        }
+        ppN[0] = ppJ[0] = ppC[0] = 0.0;
+        for (int i2 = 1; i2 <= Ld; i2++) {
+            ppN[i2] = std::exp(wfxN[i2 - 1] + su.xN[0] + wbxN[i2] - envsc);
+            ppJ[i2] = std::exp(wfxJ[i2 - 1] + su.xJ[0] + wbxJ[i2] - envsc);
+            ppC[i2] = std::exp(wfxC[i2 - 1] + su.xC[0] + wbxC[i2] - envsc);
+        }
+
+        double domcorrection = 0.0;
+        if (do_null2 && !null2_done) {
+            // null2 by expectation over all states incl. N/C/J flank mass
+            double* wM = new double[W](); double* wI = new double[W]();
+            double wX = 0.0;
+            for (int i2 = 1; i2 <= Ld; i2++) {
+                const size_t o = (size_t)i2 * W;
+                for (int kk = 0; kk < W; kk++) {
+                    wM[kk] += ppM[o + kk]; wI[kk] += ppI[o + kk];
+                }
+                wX += ppN[i2] + ppJ[i2] + ppC[i2];
+            }
+            double* core = new double[K];
+            for (int x = 0; x < K; x++) {
+                double v = 0.0;
+                const double* om_ = odds_m + (size_t)x * W;
+                const double* oi_ = odds_i + (size_t)x * W;
+                for (int kk = 1; kk <= M; kk++)
+                    v += om_[kk] * wM[kk] + oi_[kk] * wI[kk];
+                core[x] = (v + wX) / (double)Ld;
+            }
+            for (int pos = a; pos <= b; pos++) {
+                uint8_t x = dsq[pos - 1];
+                double val;
+                if (x < K) val = core[x];
+                else if (deg_one[x]) val = 1.0;
+                else {
+                    val = 0.0;
+                    const double* dw = degw + (size_t)x * K;
+                    for (int c = 0; c < K; c++) val += dw[c] * core[c];
+                }
+                n2sc[pos] = val > 1e-300 ? std::log(val) : -700.0;
+            }
+            delete[] wM; delete[] wI; delete[] core;
+        }
+        if (do_null2)
+            for (int pos = a; pos <= b; pos++) domcorrection += n2sc[pos];
+
+        // optimal accuracy DP + traceback
+        double* gMM = new double[M]; double* gIM = new double[M];
+        double* gDM = new double[M]; double* gMD = new double[M];
+        double* gDD = new double[M]; double* gBM = new double[M];
+        double* gMI = new double[W]; double* gII = new double[W];
+        for (int kk = 0; kk < M; kk++) {
+            gMM[kk] = tMM[kk] > -5e29 ? 0.0 : NEGMASS;
+            gIM[kk] = tIM[kk] > -5e29 ? 0.0 : NEGMASS;
+            gDM[kk] = tDM[kk] > -5e29 ? 0.0 : NEGMASS;
+            gMD[kk] = tMD[kk] > -5e29 ? 0.0 : NEGMASS;
+            gDD[kk] = tDD[kk] > -5e29 ? 0.0 : NEGMASS;
+            gBM[kk] = tBM[kk] > -5e29 ? 0.0 : NEGMASS;
+        }
+        for (int kk = 0; kk < W; kk++) {
+            gMI[kk] = tMI[kk] > -5e29 ? 0.0 : NEGMASS;
+            gII[kk] = tII[kk] > -5e29 ? 0.0 : NEGMASS;
+        }
+        double* Mx = new double[rows]; double* Ix = new double[rows];
+        double* Dx = new double[rows];
+        double* oxN = new double[Ld + 1]; double* oxB = new double[Ld + 1];
+        double* oxE = new double[Ld + 1]; double* oxJ = new double[Ld + 1];
+        double* oxC = new double[Ld + 1];
+        int eJ_ok = su.xE[0] > -5e29 ? 1 : 0;
+        double oasc = hmmdp_optacc(ppM, ppI, ppN, ppJ, ppC,
+                                   gMM, gIM, gDM, gMD, gDD, gMI, gII, gBM,
+                                   eJ_ok, Ld, M,
+                                   Mx, Ix, Dx, oxN, oxB, oxE, oxJ, oxC);
+
+        // OA traceback (p7_OATrace port; built reversed, then flipped)
+        TraceBuf tb{tr_st, tr_k, tr_i, tr_pp, tr_off[ndom], max_tr};
+        int64_t t_start = tb.n;
+        {
+            int i2 = Ld, kk = 0;
+            char state = 'C';
+            tb.push('T', 0, 0, 0.0);
+            tb.push('C', 0, 0, 0.0);
+            int guard = 8 * (Ld + M) + 64;
+            while (!(state == 'N' && i2 == 0) && guard-- > 0 && !tb.overflow) {
+                const size_t o = (size_t)i2 * W;
+                const size_t om1 = o >= (size_t)W ? o - W : 0;
+                if (state == 'C') {
+                    if (i2 > 0 && oa_close(oxC[i2], oxC[i2 - 1] + ppC[i2])) {
+                        tb.push('C', 0, i2, ppC[i2]); i2--;
+                    } else { state = 'E'; tb.push('E', 0, 0, 0.0); }
+                } else if (state == 'E') {
+                    double mmax = NEGMASS;
+                    int argm = 1;
+                    for (int q = 1; q <= M; q++)
+                        if (Mx[o + q] > mmax) { mmax = Mx[o + q]; argm = q; }
+                    if (oa_close(oxE[i2], Dx[o + M]) && Dx[o + M] > mmax + 1e-9) {
+                        state = 'D'; kk = M; tb.push('D', M, 0, 0.0);
+                    } else { state = 'M'; kk = argm;
+                             tb.push('M', kk, i2, ppM[o + kk]); }
+                } else if (state == 'M') {
+                    double v = Mx[o + kk] - ppM[o + kk];
+                    double pm = Mx[om1 + kk - 1], pi_ = Ix[om1 + kk - 1];
+                    double pd = Dx[om1 + kk - 1], pb = oxB[i2 - 1];
+                    i2--;
+                    const size_t o2 = (size_t)i2 * W;
+                    if (oa_close(v, pb)) { state = 'B'; tb.push('B', 0, 0, 0.0); }
+                    else if (oa_close(v, pm)) {
+                        kk--; tb.push('M', kk, i2, ppM[o2 + kk]);
+                    } else if (oa_close(v, pd)) {
+                        state = 'D'; kk--; tb.push('D', kk, 0, 0.0);
+                    } else if (oa_close(v, pi_)) {
+                        state = 'I'; kk--; tb.push('I', kk, i2, ppI[o2 + kk]);
+                    } else { state = 'B'; tb.push('B', 0, 0, 0.0); }
+                } else if (state == 'D') {
+                    if (kk >= 2 && oa_close(Dx[o + kk], Dx[o + kk - 1])) {
+                        kk--; tb.push('D', kk, 0, 0.0);
+                    } else {
+                        kk--; state = 'M'; tb.push('M', kk, i2, ppM[o + kk]);
+                    }
+                } else if (state == 'I') {
+                    double v = Ix[o + kk] - ppI[o + kk];
+                    double pm = Mx[om1 + kk];
+                    i2--;
+                    const size_t o2 = (size_t)i2 * W;
+                    if (oa_close(v, pm)) {
+                        state = 'M'; tb.push('M', kk, i2, ppM[o2 + kk]);
+                    } else tb.push('I', kk, i2, ppI[o2 + kk]);
+                } else if (state == 'B') {
+                    if (eJ_ok && oa_close(oxB[i2], oxJ[i2])
+                        && oxJ[i2] > oxN[i2] - 1e-12) {
+                        state = 'J'; tb.push('J', 0, 0, 0.0);
+                    } else { state = 'N'; tb.push('N', 0, 0, 0.0); }
+                } else if (state == 'J') {
+                    if (i2 > 0 && oa_close(oxJ[i2], oxJ[i2 - 1] + ppJ[i2])) {
+                        tb.push('J', 0, i2, ppJ[i2]); i2--;
+                    } else { state = 'E'; tb.push('E', 0, 0, 0.0); }
+                } else {  // N
+                    if (i2 > 0) { tb.push('N', 0, i2, ppN[i2]); i2--; }
+                    else break;
+                }
+            }
+            tb.push('S', 0, 0, 0.0);
+            tb.reverse_from(t_start);
+        }
+
+        // offset residue indices to sequence coords; alignment bounds
+        int iali = 0, jali = 0, hmmfrom = 0, hmmto = 0;
+        for (int64_t z = t_start; z < tb.n; z++) {
+            if (tr_i[z] > 0) tr_i[z] += a - 1;
+            if (tr_st[z] == 'M') {
+                if (iali == 0) { iali = tr_i[z]; hmmfrom = tr_k[z]; }
+                jali = tr_i[z]; hmmto = tr_k[z];
+            }
+        }
+
+        bool ok = !tb.overflow && iali != 0;
+        if (tb.overflow) fail = true;
+        if (ok) {
+            dom_int[ndom * 6 + 0] = a;       dom_int[ndom * 6 + 1] = b;
+            dom_int[ndom * 6 + 2] = iali;    dom_int[ndom * 6 + 3] = jali;
+            dom_int[ndom * 6 + 4] = hmmfrom; dom_int[ndom * 6 + 5] = hmmto;
+            dom_dbl[ndom * 3 + 0] = envsc;
+            dom_dbl[ndom * 3 + 1] = domcorrection;
+            dom_dbl[ndom * 3 + 2] = oasc;
+            ndom++;
+            tr_off[ndom] = tb.n;
+        }
+        delete[] fM; delete[] fI; delete[] fD;
+        delete[] bM; delete[] bI; delete[] bD;
+        delete[] wfxN; delete[] wfxB; delete[] wfxE; delete[] wfxC; delete[] wfxJ;
+        delete[] wbxN; delete[] wbxB; delete[] wbxE; delete[] wbxC; delete[] wbxJ;
+        delete[] ppM; delete[] ppI; delete[] ppN; delete[] ppJ; delete[] ppC;
+        delete[] gMM; delete[] gIM; delete[] gDM; delete[] gMD; delete[] gDD;
+        delete[] gBM; delete[] gMI; delete[] gII;
+        delete[] Mx; delete[] Ix; delete[] Dx;
+        delete[] oxN; delete[] oxB; delete[] oxE; delete[] oxJ; delete[] oxC;
+        return ok;
+    };
+
+    // ---- region scan ----
+    int istart = -1;
+    bool triggered = false;
+    int region_idx = 0;
+    for (int jj = 1; jj <= L && !fail; jj++) {
+        if (!triggered) {
+            if (mocc[jj] - (btot[jj] - btot[jj - 1]) < rt2) istart = jj;
+            else if (istart == -1) istart = jj;
+            if (mocc[jj] >= rt1) triggered = true;
+        } else if (mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2) {
+            const int ii = istart;
+            nregions++;
+            double expected_n = 0.0;
+            for (int z = ii; z <= jj; z++)
+                expected_n = std::max(expected_n,
+                    std::min(etot[z] - etot[ii - 1], btot[jj] - btot[z]));
+            if (expected_n >= rt3) {
+                // --- multidomain region: stochastic traceback clustering ---
+                nclustered++;
+                const int Ld = jj - ii + 1;
+                const uint8_t* win = dsq + (ii - 1);
+                Specials sr; sr.config(Ld, true);
+                const size_t rows = (size_t)(Ld + 1) * W;
+                double* rM = new double[rows]; double* rI = new double[rows];
+                double* rD = new double[rows];
+                double* rxN = new double[Ld + 1]; double* rxB = new double[Ld + 1];
+                double* rxE = new double[Ld + 1]; double* rxC = new double[Ld + 1];
+                double* rxJ = new double[Ld + 1];
+                hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
+                              tMI, tII, msc, isc,
+                              sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp,
+                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 1);
+                const int max_spans = nsamples * 16;
+                int32_t* spans = new int32_t[3 * max_spans];
+                double* n2acc = new double[Ld + 2]();
+                uint64_t rseed = mix64(seed ^ mix64((uint64_t)region_idx + 1));
+                int nsp = hmmdp_stotrace(
+                    win, Ld, rM, rI, rD, rxN, rxB, rxE, rxC, rxJ,
+                    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
+                    sr.xE, sr.xN, sr.xJ, sr.xC,
+                    odds_m, odds_i, M, K, nsamples, rseed,
+                    spans, max_spans, n2acc);
+                delete[] rM; delete[] rI; delete[] rD;
+                delete[] rxN; delete[] rxB; delete[] rxE; delete[] rxC;
+                delete[] rxJ;
+                if (do_null2)
+                    for (int pos = 1; pos <= Ld; pos++)
+                        n2sc[ii + pos - 1] = n2acc[pos] / nsamples;
+                delete[] n2acc;
+
+                // dedup spans -> unique (a,b) with multiplicity + sample sets
+                // envs from single-linkage clustering (>= 0.8 overlap of the
+                // smaller), consensus posterior >= 0.25, endpoint p >= 0.02
+                int nenv = 0;
+                int* env_a = new int[nsp > 0 ? nsp : 1];
+                int* env_b = new int[nsp > 0 ? nsp : 1];
+                if (nsp > 0) {
+                    // sort span indices by (a, b)
+                    int* order = new int[nsp];
+                    for (int t = 0; t < nsp; t++) order[t] = t;
+                    std::sort(order, order + nsp, [&](int x, int y) {
+                        if (spans[3 * x + 1] != spans[3 * y + 1])
+                            return spans[3 * x + 1] < spans[3 * y + 1];
+                        return spans[3 * x + 2] < spans[3 * y + 2];
+                    });
+                    int nu = 0;
+                    int* ua = new int[nsp]; int* ub = new int[nsp];
+                    int* uc = new int[nsp];
+                    int* uoff = new int[nsp + 1];      // into usamp
+                    int* usamp = new int[nsp];         // sample ids, grouped
+                    uoff[0] = 0;
+                    for (int t = 0; t < nsp;) {
+                        int aa = spans[3 * order[t] + 1];
+                        int bb = spans[3 * order[t] + 2];
+                        int c = 0, w = uoff[nu];
+                        while (t < nsp && spans[3 * order[t] + 1] == aa
+                               && spans[3 * order[t] + 2] == bb) {
+                            usamp[w + c] = spans[3 * order[t]];
+                            c++; t++;
+                        }
+                        ua[nu] = aa; ub[nu] = bb; uc[nu] = c;
+                        uoff[nu + 1] = w + c; nu++;
+                    }
+                    UnionFind uf(nu);
+                    for (int x = 0; x < nu; x++) {
+                        int lx = ub[x] - ua[x] + 1;
+                        for (int y = x + 1; y < nu; y++) {
+                            if (ua[y] > ub[x]) break;  // sorted by start
+                            int ov = std::min(ub[x], ub[y])
+                                     - std::max(ua[x], ua[y]) + 1;
+                            int ly = ub[y] - ua[y] + 1;
+                            if (ov > 0 && ov >= 0.8 * std::min(lx, ly))
+                                uf.unite(x, y);
+                        }
+                    }
+                    bool* seen = new bool[nsamples];
+                    for (int root = 0; root < nu; root++) {
+                        if (uf.find(root) != root) continue;
+                        // gather members
+                        std::memset(seen, 0, nsamples);
+                        int nsup = 0, mtot = 0;
+                        int amin = 1 << 30, bmax = 0;
+                        for (int x = 0; x < nu; x++)
+                            if (uf.find(x) == root) {
+                                mtot += uc[x];
+                                for (int q = uoff[x]; q < uoff[x + 1]; q++)
+                                    if (!seen[usamp[q]]) {
+                                        seen[usamp[q]] = true; nsup++;
+                                    }
+                            }
+                        if ((double)nsup / nsamples < 0.25) continue;
+                        // endpoint marginals: widest start/end with p>=0.02
+                        int sa_min = 1 << 30, sb_max = 0;
+                        for (int x = 0; x < nu; x++) {
+                            if (uf.find(x) != root) continue;
+                            // start marginal: sum multiplicities sharing ua[x]
+                            int cs = 0, ce = 0;
+                            for (int y = 0; y < nu; y++) {
+                                if (uf.find(y) != root) continue;
+                                if (ua[y] == ua[x]) cs += uc[y];
+                                if (ub[y] == ub[x]) ce += uc[y];
+                            }
+                            if ((double)cs / mtot >= 0.02)
+                                sa_min = std::min(sa_min, ua[x]);
+                            if ((double)ce / mtot >= 0.02)
+                                sb_max = std::max(sb_max, ub[x]);
+                            amin = std::min(amin, ua[x]);
+                            bmax = std::max(bmax, ub[x]);
+                        }
+                        int ea = sa_min != (1 << 30) ? sa_min : amin;
+                        int eb = sb_max != 0 ? sb_max : bmax;
+                        if (eb < ea) continue;
+                        env_a[nenv] = ea + ii - 1;
+                        env_b[nenv] = eb + ii - 1;
+                        nenv++;
+                    }
+                    delete[] seen;
+                    delete[] order; delete[] ua; delete[] ub; delete[] uc;
+                    delete[] uoff; delete[] usamp;
+                }
+                if (nenv == 0) { env_a[0] = ii; env_b[0] = jj; nenv = 1; }
+                // sort envelopes by start
+                for (int x = 1; x < nenv; x++)
+                    for (int y = x; y > 0 &&
+                         (env_a[y] < env_a[y - 1] ||
+                          (env_a[y] == env_a[y - 1] && env_b[y] < env_b[y - 1]));
+                         y--) {
+                        std::swap(env_a[y], env_a[y - 1]);
+                        std::swap(env_b[y], env_b[y - 1]);
+                    }
+                int last_end = 0;
+                for (int e = 0; e < nenv && !fail; e++) {
+                    if (env_a[e] <= last_end) noverlaps++;
+                    last_end = env_b[e];
+                    if (rescore(env_a[e], env_b[e], true)) nenvelopes++;
+                }
+                delete[] env_a; delete[] env_b;
+            } else {
+                if (rescore(ii, jj, false)) nenvelopes++;
+            }
+            region_idx++;
+            istart = -1;
+            triggered = false;
+        }
+    }
+
+    delete[] fxN; delete[] fxB; delete[] fxE; delete[] fxC; delete[] fxJ;
+    delete[] bxN; delete[] bxB; delete[] bxE; delete[] bxC; delete[] bxJ;
+    double nexpected = etot[L];
+    delete[] btot; delete[] etot; delete[] mocc;
+    out_scalars[0] = fwdsc;
+    out_scalars[1] = nexpected;
+    out_scalars[2] = nregions;
+    out_scalars[3] = nclustered;
+    out_scalars[4] = noverlaps;
+    out_scalars[5] = nenvelopes;
+    return fail ? -1 : ndom;
+}
+
+}  // extern "C"

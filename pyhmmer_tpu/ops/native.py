@@ -96,6 +96,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I64P, ctypes.c_int64,
     ]
     lib.hmmdp_ssv_seed.restype = ctypes.c_int64
+    _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    _I64PP = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    lib.hmmdp_domaindef.argtypes = [
+        _U8, _I32,
+        _D, _D, _D, _D, _D, _D, _D, _D,     # transitions
+        _D, _D,                             # msc, isc
+        _I32, _I32, _I32,                   # M, K, Kp
+        _D, _D,                             # odds_m, odds_i
+        _D, _U8,                            # degw, deg_one
+        _I32, ctypes.c_uint64, _I32,        # do_null2, seed, nsamples
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        _D, _D,                             # out_scalars, n2sc
+        _I32P, _D, _I32,                    # dom_int, dom_dbl, max_dom
+        _I8P, _I32P, _I32P, _D,             # trace arrays
+        _I64PP, ctypes.c_int64,             # tr_off, max_tr
+    ]
+    lib.hmmdp_domaindef.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -239,6 +256,98 @@ def stotrace(prof, fwd, dsq: np.ndarray, nsamples: int, seed: int):
     out = [(int(spans[3 * t]), int(spans[3 * t + 1]), int(spans[3 * t + 2]))
            for t in range(n)]
     return out, n2acc
+
+
+def _null2_tables(alphabet):
+    """Per-alphabet degeneracy tables for the native null2
+    (``null2[code] = degw[code] @ null2[:K]``, overridden to 1.0 where
+    ``deg_one``: gap / nonresidue / missing codes)."""
+    cached = getattr(alphabet, "_native_null2_tables", None)
+    if cached is None:
+        K, Kp = alphabet.K, alphabet.Kp
+        d = alphabet.degen.astype(np.float64)
+        s = d.sum(axis=1, keepdims=True)
+        degw = np.ascontiguousarray(np.where(s > 0, d / np.maximum(s, 1), 0.0))
+        deg_one = np.zeros(Kp, dtype=np.uint8)
+        deg_one[K] = deg_one[Kp - 2] = deg_one[Kp - 1] = 1
+        cached = (degw, deg_one)
+        alphabet._native_null2_tables = cached
+    return cached
+
+
+def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
+              nsamples: int = 200, rt1: float = 0.25, rt2: float = 0.10,
+              rt3: float = 0.20):
+    """Full native domain definition for one Forward survivor.
+
+    Runs the complete ``p7_domaindef_ByPosteriorHeuristics`` machinery in
+    C++ (full-L fwd/bck parsers, region heuristics, stochastic-ensemble
+    clustering, unihit rescoring with null2 + optimal accuracy).  Returns
+    ``(fwdsc, DomainDefResult)``; ``None`` if the native library is
+    unavailable or a buffer overflowed (caller falls back to Python)."""
+    from ..plan7 import domaindef as dd
+    lib = get_lib()
+    if lib is None:
+        return None
+    pt = get_tensors(prof_multi)
+    L = int(len(dsq))
+    K = prof_multi.alphabet.K
+    W = pt.M + 1
+    odds_m = np.ascontiguousarray(
+        np.exp(np.maximum(prof_multi.msc[:K, :], -700.0)), dtype=np.float64)
+    odds_i = np.ascontiguousarray(
+        np.exp(np.maximum(prof_multi.isc[:K, :], -700.0)), dtype=np.float64)
+    degw, deg_one = _null2_tables(prof_multi.alphabet)
+    max_dom = max(64, min(1024, L // 2 + 8))
+    max_tr = int(L + max_dom * (pt.M + 64) + 1024)
+    out_scalars = np.zeros(6)
+    n2sc = np.zeros(L + 1)
+    dom_int = np.zeros(max_dom * 6, dtype=np.int32)
+    dom_dbl = np.zeros(max_dom * 3)
+    tr_st = np.zeros(max_tr, dtype=np.int8)
+    tr_k = np.zeros(max_tr, dtype=np.int32)
+    tr_i = np.zeros(max_tr, dtype=np.int32)
+    tr_pp = np.zeros(max_tr)
+    tr_off = np.zeros(max_dom + 1, dtype=np.int64)
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    ndom = lib.hmmdp_domaindef(
+        dsq8, L,
+        pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
+        pt.msc, pt.isc, pt.M, K, pt.Kp,
+        odds_m, odds_i, degw, deg_one,
+        1 if do_null2 else 0, seed & 0x7FFFFFFFFFFFFFFF, nsamples,
+        rt1, rt2, rt3,
+        out_scalars, n2sc, dom_int, dom_dbl, max_dom,
+        tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr)
+    if ndom < 0:
+        return None
+    domains = []
+    for d in range(ndom):
+        a, b, iali, jali, hmmfrom, hmmto = dom_int[6 * d: 6 * d + 6]
+        o0, o1 = int(tr_off[d]), int(tr_off[d + 1])
+        tr = dd.Trace(
+            states=[chr(c) for c in tr_st[o0:o1]],
+            k=tr_k[o0:o1].tolist(),
+            i=tr_i[o0:o1].tolist(),
+            pp=tr_pp[o0:o1].tolist(),
+        )
+        dom = dd.DomainEnvelope(
+            ienv=int(a), jenv=int(b),
+            envsc=float(dom_dbl[3 * d]),
+            domcorrection=float(dom_dbl[3 * d + 1]),
+            oasc=float(dom_dbl[3 * d + 2]), trace=tr,
+            iali=int(iali), jali=int(jali),
+            hmmfrom=int(hmmfrom), hmmto=int(hmmto))
+        domains.append(dom)
+    res = dd.DomainDefResult(
+        domains=domains,
+        nexpected=float(out_scalars[1]),
+        nregions=int(out_scalars[2]),
+        nclustered=int(out_scalars[3]),
+        noverlaps=int(out_scalars[4]),
+        nenvelopes=int(out_scalars[5]),
+        n2sc=n2sc)
+    return float(out_scalars[0]), res
 
 
 def available() -> bool:

@@ -25,7 +25,11 @@ import numpy as np
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components
+
 from ..ops import reference as ref
+from ..ops import native
 from ..ops.reference import NEGMASS
 
 RT1 = 0.25
@@ -75,7 +79,6 @@ def optimal_accuracy(prof, pp: dict, L: int) -> Tuple[float, np.ndarray]:
     their probability is zero.  Returns ``(oasc, dp-matrices)`` for the
     traceback.  Dispatches to the native C++ kernel when available.
     """
-    from ..ops import native
     if native.available():
         return native.optacc(prof, pp, L)
     return _optimal_accuracy_np(prof, pp, L)
@@ -485,7 +488,6 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
     # each sampled domain contributes its own uniform-usage null2 over its
     # span (p7_Null2_ByTrace per domain, averaged over samples)
     n2acc = np.zeros(Ld + 2)
-    from ..ops import native
     if native.available():
         seed = int(rng.integers(0, 2**62))
         triples, n2acc = native.stotrace(prof, fwd, window, nsamples, seed)
@@ -539,8 +541,6 @@ def region_trace_ensemble(prof_multi, prof_uni, dsq, i: int, j: int,
               - np.maximum(a[:, None], a[None, :]) + 1)
         linked = (ov > 0) & (ov >= min_overlap * np.minimum(ln[:, None],
                                                             ln[None, :]))
-        from scipy.sparse import csr_matrix
-        from scipy.sparse.csgraph import connected_components
         _, labels = connected_components(csr_matrix(linked), directed=False)
         for t in range(n):
             clusters.setdefault(int(labels[t]), []).append(t)

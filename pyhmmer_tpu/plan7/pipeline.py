@@ -210,12 +210,22 @@ class Pipeline:
         ev = prof.evparam.astype(np.float64)
         fwdsc = fwd.score
 
-        # 5. domain definition
-        if self.do_reseeding:
-            self._rng = np.random.default_rng(self.seed)
-        bck = ref.backward(prof, dsq)
-        res = dd.define_domains(prof, prof_uni, dsq, fwd, bck,
-                                do_null2=self.null2, rng=self._rng)
+        # 5. domain definition (native C++ driver when available; the
+        # NumPy oracle otherwise -- same semantics, see domaindef.py)
+        from ..ops import native
+        res = None
+        if native.available():
+            seed_val = (self.seed if self.do_reseeding
+                        else int(self._rng.integers(0, 2**62)))
+            out = native.domaindef(prof, dsq, self.null2, seed_val)
+            if out is not None:
+                _, res = out
+        if res is None:
+            if self.do_reseeding:
+                self._rng = np.random.default_rng(self.seed)
+            bck = ref.backward(prof, dsq)
+            res = dd.define_domains(prof, prof_uni, dsq, fwd, bck,
+                                    do_null2=self.null2, rng=self._rng)
         if res.nregions == 0 or len(res.domains) == 0:
             return
 
