@@ -77,7 +77,7 @@ double hmmdp_forward(
     const double* xE, const double* xN, const double* xJ, const double* xC,
     int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
-    double* Mm, double* Im, double* Dm, int32_t keep) {
+    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
     ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
               xE, xN, xJ, xC, M, Kp);
     const int W = M + 1;
@@ -95,7 +95,11 @@ double hmmdp_forward(
     double logscale = 0.0;
     xNv[0] = 0.0; xBv[0] = std::log(b_);
     xEv[0] = xCv[0] = xJv[0] = NEGMASS;
-    if (keep) for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = NEGMASS;
+    if (keep == 1) for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = NEGMASS;
+    if (keep == 2) {
+        for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = 0.0;
+        rowscale[0] = 0.0;
+    }
 
     for (int i = 1; i <= L; i++) {
         const double* ms = P.ems + (size_t)dsq[i - 1] * W;
@@ -128,7 +132,7 @@ double hmmdp_forward(
         xNv[i] = logN;
         xBv[i] = xlog(b_, logscale);
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
-        if (keep) {
+        if (keep == 1) {
             double* Mo = Mm + (size_t)i * W;
             double* Io = Im + (size_t)i * W;
             double* Do = Dm + (size_t)i * W;
@@ -139,7 +143,28 @@ double hmmdp_forward(
                 Do[k] = xlog(drow[k], logscale);
             }
         }
-        if (e > RESCALE_HI || (e > 0 && e < 1.0 / RESCALE_HI)) {
+        if (keep == 2) {
+            // odds mode: rescale every row by the row max so stored raw
+            // values stay in [0, 1] (bounds the posterior row factors),
+            // then store raw odds + the row's log scale
+            double mx = TINY;
+            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
+            mx = std::max(mx, std::max(j_, c_));
+            double inv = 1.0 / mx;
+            for (int k = 0; k < W; k++) {
+                mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+            }
+            b_ *= inv; j_ *= inv; c_ *= inv;
+            logscale += std::log(mx);
+            double* Mo = Mm + (size_t)i * W;
+            double* Io = Im + (size_t)i * W;
+            double* Do = Dm + (size_t)i * W;
+            Mo[0] = Io[0] = Do[0] = 0.0;
+            for (int k = 1; k < W; k++) {
+                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
+            }
+            rowscale[i] = logscale;
+        } else if (e > RESCALE_HI || (e > 0 && e < 1.0 / RESCALE_HI)) {
             double s = e;
             double inv = 1.0 / s;
             for (int k = 0; k < W; k++) {
@@ -164,7 +189,7 @@ double hmmdp_backward(
     const double* xE, const double* xN, const double* xJ, const double* xC,
     int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
-    double* Mm, double* Im, double* Dm, int32_t keep) {
+    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
     ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
               xE, xN, xJ, xC, M, Kp);
     const int W = M + 1;
@@ -190,7 +215,7 @@ double hmmdp_backward(
     for (int k = 1; k <= M; k++) mrow[k] = e_;
     for (int k = 1; k < M; k++)
         mrow[k] += drow[k + 1] * P.eMD[k];
-    if (keep) {
+    if (keep == 1) {
         double* Mo = Mm + (size_t)L * W;
         double* Io = Im + (size_t)L * W;
         double* Do = Dm + (size_t)L * W;
@@ -200,6 +225,16 @@ double hmmdp_backward(
             Io[k] = NEGMASS;
             Do[k] = xlog(drow[k], 0.0);
         }
+    }
+    if (keep == 2) {
+        double* Mo = Mm + (size_t)L * W;
+        double* Io = Im + (size_t)L * W;
+        double* Do = Dm + (size_t)L * W;
+        Mo[0] = Io[0] = Do[0] = 0.0;
+        for (int k = 1; k < W; k++) {
+            Mo[k] = mrow[k]; Io[k] = 0.0; Do[k] = drow[k];
+        }
+        rowscale[L] = 0.0;
     }
 
     for (int i = L - 1; i >= 0; i--) {
@@ -236,7 +271,7 @@ double hmmdp_backward(
                      + irow[k] * P.eMI[k] * is[k]
                      + nd[k + 1] * P.eMD[k];
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
-        if (keep) {
+        if (keep == 1) {
             double* Mo = Mm + (size_t)i * W;
             double* Io = Im + (size_t)i * W;
             double* Do = Dm + (size_t)i * W;
@@ -247,15 +282,34 @@ double hmmdp_backward(
                 Do[k] = xlog(drow[k], logscale);
             }
         }
-        double mx = 0.0;
-        for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
-        if (mx > RESCALE_HI || (mx > 0 && mx < 1.0 / RESCALE_HI)) {
+        if (keep == 2) {
+            double mx = TINY;
+            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
             double inv = 1.0 / mx;
             for (int k = 0; k < W; k++) {
                 mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
             }
             n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
             logscale += std::log(mx);
+            double* Mo = Mm + (size_t)i * W;
+            double* Io = Im + (size_t)i * W;
+            double* Do = Dm + (size_t)i * W;
+            Mo[0] = Io[0] = Do[0] = 0.0;
+            for (int k = 1; k < W; k++) {
+                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
+            }
+            rowscale[i] = logscale;
+        } else {
+            double mx = 0.0;
+            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
+            if (mx > RESCALE_HI || (mx > 0 && mx < 1.0 / RESCALE_HI)) {
+                double inv = 1.0 / mx;
+                for (int k = 0; k < W; k++) {
+                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                }
+                n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
+                logscale += std::log(mx);
+            }
         }
     }
     double score = xNv[0];
@@ -655,11 +709,11 @@ int32_t hmmdp_domaindef(
                                  tMI, tII, msc, isc,
                                  sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
                                  fxN, fxB, fxE, fxC, fxJ,
-                                 dummy, dummy, dummy, 0);
+                                 dummy, dummy, dummy, 0, dummy);
     hmmdp_backward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
                    tMI, tII, msc, isc,
                    sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
-                   bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0);
+                   bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0, dummy);
 
     // ---- decode_specials: btot / etot / mocc ----
     double* btot = new double[L + 1];
@@ -699,28 +753,36 @@ int32_t hmmdp_domaindef(
         double* wbxN = new double[Ld + 1]; double* wbxB = new double[Ld + 1];
         double* wbxE = new double[Ld + 1]; double* wbxC = new double[Ld + 1];
         double* wbxJ = new double[Ld + 1];
+        double* fsc_row = new double[Ld + 1];
+        double* bsc_row = new double[Ld + 1];
         double envsc = hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
                                      tMI, tII, msc, isc,
                                      su.xE, su.xN, su.xJ, su.xC, M, Kp,
                                      wfxN, wfxB, wfxE, wfxC, wfxJ,
-                                     fM, fI, fD, 1);
+                                     fM, fI, fD, 2, fsc_row);
         hmmdp_backward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
                        tMI, tII, msc, isc,
                        su.xE, su.xN, su.xJ, su.xC, M, Kp,
-                       wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 1);
+                       wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 2, bsc_row);
 
-        // posterior decode
+        // posterior decode: matrices are raw odds with per-row log scales
+        // (keep==2), so the per-cell work is one multiply -- the exp is
+        // per-row.  Row factors are clamped so pathological rows cannot
+        // produce inf * 0.
         double* ppM = new double[rows]; double* ppI = new double[rows];
         double* ppN = new double[Ld + 1]; double* ppJ = new double[Ld + 1];
         double* ppC = new double[Ld + 1];
         for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0; ppI[kk] = 0.0; }
         for (int i2 = 1; i2 <= Ld; i2++) {
             const size_t o = (size_t)i2 * W;
+            double arg = fsc_row[i2] + bsc_row[i2] - envsc;
+            double rfac = std::exp(std::min(arg, 700.0));
             for (int kk = 0; kk < W; kk++) {
-                ppM[o + kk] = std::exp(fM[o + kk] + bM[o + kk] - envsc);
-                ppI[o + kk] = std::exp(fI[o + kk] + bI[o + kk] - envsc);
+                ppM[o + kk] = fM[o + kk] * bM[o + kk] * rfac;
+                ppI[o + kk] = fI[o + kk] * bI[o + kk] * rfac;
             }
         }
+        delete[] fsc_row; delete[] bsc_row;
         ppN[0] = ppJ[0] = ppC[0] = 0.0;
         for (int i2 = 1; i2 <= Ld; i2++) {
             ppN[i2] = std::exp(wfxN[i2 - 1] + su.xN[0] + wbxN[i2] - envsc);
@@ -927,10 +989,11 @@ int32_t hmmdp_domaindef(
                 double* rxN = new double[Ld + 1]; double* rxB = new double[Ld + 1];
                 double* rxE = new double[Ld + 1]; double* rxC = new double[Ld + 1];
                 double* rxJ = new double[Ld + 1];
+                double rdummy[1];
                 hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
                               tMI, tII, msc, isc,
                               sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp,
-                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 1);
+                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 1, rdummy);
                 const int max_spans = nsamples * 16;
                 int32_t* spans = new int32_t[3 * max_spans];
                 double* n2acc = new double[Ld + 2]();

@@ -1,0 +1,237 @@
+"""Pallas TPU kernel for the Forward filter (odds-space, parser score).
+
+Replaces the XLA-scan Forward (`ops.batch._forward_kernel`), which
+round-trips its ``[P, B, M]`` carry through HBM on every length step and
+pays ~6 transcendentals per DP cell for log-space ``logaddexp``.  Design
+(mirrors the native C++ host kernel in ``csrc/hmmdp.cpp``, which mirrors
+HMMER's odds-space striped Forward ``impl_sse/fwdback.c``):
+
+* **odds space**: probabilities relative to the background null; each DP
+  cell is ~8 multiply-adds on the VPU, no transcendentals.  Per-row
+  rescaling by the running row maximum keeps float32 in range; the scale
+  is accumulated per sequence in log space.
+* **DD chain as an MXU matmul**: the within-row delete chain
+  ``nd[k] = sum_{j<k} nm[j]*tMD[j]*prod tDD`` is a *constant* linear map
+  of the match row, precomputed per profile as ``T_dd[j, k] =
+  exp(tMD[j] + sum_{m=j+1}^{k-1} tDD[m])`` -- one ``[Mp, Mp] x [Mp, B]``
+  matmul per row instead of a sequential (or log-depth associative) scan
+  over model positions.
+* **layout [M(sublanes), B(lanes)]**: specials (E/N/J/C/B) are ``[1, B]``
+  lane vectors; the E collection is a sublane reduction.
+* emission odds are gathered with a one-hot MXU matmul per row.
+
+Padding contract: sequence tails are nonresidue-coded (emission odds 0),
+so dead rows hold zero mass; per-sequence specials freeze via the
+length-mask select on ``[1, B]`` vectors only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEGMASS = -1e30
+KP_PAD = 32
+TINY = 1e-30
+
+
+def _fwd_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, tdd_ref,
+              lm_ref, out_ref, mrow, irow, drow, spec):
+    """grid (P, nBt): one profile x one lane-tile of sequences."""
+    L, Bt = codes_ref.shape
+    Mp = ems_ref.shape[1]
+
+    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, Bt), 0)
+
+    # shifted transitions as [Mp, 1] columns (slot r = model state r+1;
+    # row 0 of the rolled arrays is wrap garbage, killed by eMMs[0]=0)
+    eMMs = etr_ref[0, :, 0:1]
+    eIMs = etr_ref[0, :, 1:2]
+    eDMs = etr_ref[0, :, 2:3]
+    eBMs = etr_ref[0, :, 3:4]
+    eMIa = etr_ref[0, :, 4:5]
+    eIIa = etr_ref[0, :, 5:6]
+
+    loop_o = lm_ref[0:1, :]     # [1, Bt] N/J/C loop odds (L/(L+3))
+    move_o = lm_ref[1:2, :]     # [1, Bt] move odds (3/(L+3))
+    log_loop = lm_ref[2:3, :]
+    log_move = lm_ref[3:4, :]
+    eE0 = jnp.float32(0.5)      # E->J (multihit)
+    eE1 = jnp.float32(0.5)      # E->C
+
+    mrow[...] = jnp.zeros((Mp, Bt), jnp.float32)
+    irow[...] = jnp.zeros((Mp, Bt), jnp.float32)
+    drow[...] = jnp.zeros((Mp, Bt), jnp.float32)
+    # spec rows: 0=j 1=c 2=b 3=logscale 4=logN
+    spec[...] = jnp.zeros((8, Bt), jnp.float32)
+    spec[2:3, :] = move_o       # b_ = N->B move at row 0
+
+    def row(i, _):
+        codes_row = codes_ref[pl.ds(i, 1), :]                   # [1, Bt]
+        onehot = (kcode == codes_row).astype(jnp.float32)       # [KP, Bt]
+        ms = jax.lax.dot_general(
+            ems_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # [Mp, Bt]
+        is_ = jax.lax.dot_general(
+            eis_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        j_ = spec[0:1, :]
+        c_ = spec[1:2, :]
+        b_ = spec[2:3, :]
+        logscale = spec[3:4, :]
+        logN = spec[4:5, :]
+
+        rm = pltpu.roll(mrow[...], 1, 0)
+        ri = pltpu.roll(irow[...], 1, 0)
+        rd = pltpu.roll(drow[...], 1, 0)
+        nm = ms * (rm * eMMs + ri * eIMs + rd * eDMs + b_ * eBMs)
+        ni = is_ * (mrow[...] * eMIa + irow[...] * eIIa)
+        nd = jax.lax.dot_general(
+            tdd_ref[0], nm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # [Mp, Bt]
+        e = (jnp.sum(nm, axis=0, keepdims=True)
+             + jnp.sum(nd, axis=0, keepdims=True))              # [1, Bt]
+        nj = j_ * loop_o + e * eE0
+        nc = c_ * loop_o + e * eE1
+        nlogN = logN + log_loop
+        n_scaled = jnp.exp(nlogN - logscale)
+        nb = n_scaled * move_o + nj * move_o
+
+        # rescale so float32 stays in range: divide by the row max of all
+        # live mass (match row + specials), accumulate in log space
+        mx = jnp.maximum(jnp.max(nm, axis=0, keepdims=True),
+                         jnp.maximum(nj, nc))
+        mx = jnp.maximum(mx, TINY)
+        valid = (lens_ref[0:1, :] > i)                          # [1, Bt]
+        inv = jnp.where(valid, 1.0 / mx, 1.0)
+        nscale = jnp.where(valid, logscale + jnp.log(mx), logscale)
+
+        spec[0:1, :] = jnp.where(valid, nj * inv, j_)
+        spec[1:2, :] = jnp.where(valid, nc * inv, c_)
+        spec[2:3, :] = jnp.where(valid, nb * inv, b_)
+        spec[3:4, :] = nscale
+        spec[4:5, :] = jnp.where(valid, nlogN, logN)
+        mrow[...] = nm * inv
+        irow[...] = ni * inv
+        drow[...] = nd * inv
+        return 0
+
+    jax.lax.fori_loop(0, L, row, 0)
+    c_ = spec[1:2, :]
+    score = jnp.where(c_ > 0.0,
+                      jnp.log(jnp.maximum(c_, TINY)) + spec[3:4, :]
+                      + log_move,
+                      NEGMASS)
+    out_ref[...] = score[None]
+
+
+@partial(jax.jit, static_argnames=())
+def _fwd_pallas(lens, codes_t, ems, eis, etr, tdd, lm):
+    """lens [1, B] i32; codes_t [L, B] i32; ems/eis [P, Mp, KP_PAD] f32;
+    etr [P, Mp, 8] f32; tdd [P, Mp, Mp] f32; lm [4, B] f32.
+    Returns Forward scores [P, B] f32 (nats)."""
+    P, Mp, _ = ems.shape
+    L, B = codes_t.shape
+    Bt = min(B, 256)
+    nBt = B // Bt
+    grid = (P, nBt)
+    out = pl.pallas_call(
+        _fwd_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Bt), lambda p, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Bt), lambda p, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 8), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, Mp), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Bt), lambda p, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((8, Bt), jnp.float32),
+        ],
+    )(lens, codes_t, ems, eis, etr, tdd, lm)
+    return out[:, 0, :]
+
+
+def build_fwd_tensors(pb) -> dict:
+    """Precompute the per-profile-stack odds tensors for the Pallas
+    Forward kernel from an ``ops.batch.ProfileBatch`` (cached on it)."""
+    if "fwdp" in pb._device_cache:
+        return pb._device_cache["fwdp"]
+    P, Mp = pb.P, ((pb.Mp + 7) // 8) * 8
+    Kp = pb.Kp
+    ems = np.zeros((P, Mp, KP_PAD), np.float32)
+    eis = np.zeros((P, Mp, KP_PAD), np.float32)
+    etr = np.zeros((P, Mp, 8), np.float32)
+    tdd = np.zeros((P, Mp, Mp), np.float32)
+
+    def xexp(a):
+        a = np.asarray(a, np.float64)
+        return np.where(a > -600.0, np.exp(np.minimum(a, 600.0)), 0.0)
+
+    for i, prof in enumerate(pb.profiles):
+        M = prof.M
+        ems[i, :M, :Kp] = xexp(prof.msc[:, 1:]).T
+        eis[i, :M, :Kp] = xexp(prof.isc[:, 1:]).T
+        # shifted transitions: slot r multiplies rolled state r (node r)
+        etr[i, 1:M, 0] = xexp(prof.tMM[1:M])
+        etr[i, 1:M, 1] = xexp(prof.tIM[1:M])
+        etr[i, 1:M, 2] = xexp(prof.tDM[1:M])
+        etr[i, :M, 3] = xexp(prof.tBM[:M])
+        # aligned insert transitions: slot r = state r+1 -> tMI[r+1]
+        etr[i, : M - 1, 4] = xexp(prof.tMI[1:M])
+        etr[i, : M - 1, 5] = xexp(prof.tII[1:M])
+        # DD-chain transfer matrix: slot a (state j=a+1) -> slot b
+        # (state k=b+1), logT = tMD[j] + sum_{m=j+1}^{k-1} tDD[m]
+        tMD = np.where(np.isfinite(prof.tMD), prof.tMD, -np.inf)
+        tDD = np.where(np.isfinite(prof.tDD), prof.tDD, -np.inf)
+        c = np.zeros(M + 1)
+        if M >= 2:
+            c[2:] = np.cumsum(tDD[1: M])
+        j = np.arange(1, M)                      # states 1..M-1
+        with np.errstate(invalid="ignore"):
+            logT = (tMD[j][:, None] + c[None, 2: M + 1]
+                    - c[j + 1][:, None])         # [M-1, M-1] (k = 2..M)
+        mask = (j[:, None] < np.arange(2, M + 1)[None, :])
+        block = np.where(mask, logT, -np.inf)
+        tdd[i, : M - 1, 1: M] = xexp(block)
+
+    out = {
+        "ems": jnp.asarray(ems), "eis": jnp.asarray(eis),
+        "etr": jnp.asarray(etr), "tdd": jnp.asarray(tdd), "Mp": Mp,
+    }
+    pb._device_cache["fwdp"] = out
+    return out
+
+
+def lm_rows(lengths: np.ndarray) -> np.ndarray:
+    """Length-model rows [4, B] (loop/move odds + their logs) for the
+    multihit target-length model pmove = 3/(L+3)."""
+    L = np.maximum(lengths.astype(np.float64), 1.0)
+    pmove = 3.0 / (L + 3.0)
+    return np.stack([
+        (1.0 - pmove), pmove, np.log(1.0 - pmove), np.log(pmove),
+    ]).astype(np.float32)

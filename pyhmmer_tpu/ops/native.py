@@ -61,7 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _D, _D, _D, _D,                     # xE xN xJ xC
         _I32, _I32,
         _D, _D, _D, _D, _D,                 # specials out
-        _D, _D, _D, _I32,                   # matrices out, keep
+        _D, _D, _D, _I32, _D,               # matrices out, keep, rowscale
     ]
     lib.hmmdp_forward.argtypes = sig_fb
     lib.hmmdp_forward.restype = ctypes.c_double
@@ -181,12 +181,13 @@ def fwdbck(prof, dsq: np.ndarray, keep_matrix: bool, backward: bool):
         Mm = Im = Dm = np.empty((1, W))
     fn = lib.hmmdp_backward if backward else lib.hmmdp_forward
     dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    rs = np.zeros(1)
     score = fn(dsq8, L, pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD,
                pt.tMI, pt.tII, pt.msc, pt.isc,
                _clamp2(prof.xE), _clamp2(prof.xN), _clamp2(prof.xJ),
                _clamp2(prof.xC), pt.M, pt.Kp,
                xN, xB, xE, xC, xJ, Mm, Im, Dm,
-               1 if keep_matrix else 0)
+               1 if keep_matrix else 0, rs)
     if keep_matrix:
         return ref.MatrixResult(score, xN, xB, xE, xC, xJ, Mm, Im, Dm)
     return ref.ParserResult(score, xN, xB, xE, xC, xJ)

@@ -204,10 +204,7 @@ class Pipeline:
         """Post-filter processing of one target: domain definition, null2
         scoring, Hit construction (the tail of ``p7_Pipeline``).  Called by
         both the sequential cascade and the batched engine."""
-        L = len(sq)
         dsq = sq.sequence
-        bg = self.background
-        ev = prof.evparam.astype(np.float64)
         fwdsc = fwd.score
 
         # 5. domain definition (native C++ driver when available; the
@@ -226,6 +223,16 @@ class Pipeline:
             bck = ref.backward(prof, dsq)
             res = dd.define_domains(prof, prof_uni, dsq, fwd, bck,
                                     do_null2=self.null2, rng=self._rng)
+        self._build_hit(prof, sq, hits, fwdsc, nullsc, res)
+
+    def _build_hit(self, prof: Profile, sq: DigitalSequence, hits: TopHits,
+                   fwdsc: float, nullsc: float,
+                   res: "dd.DomainDefResult") -> None:
+        """Construct the Hit/Domain records from a domain-definition result
+        (the score-assembly tail of ``p7_Pipeline``)."""
+        L = len(sq)
+        bg = self.background
+        ev = prof.evparam.astype(np.float64)
         if res.nregions == 0 or len(res.domains) == 0:
             return
 
