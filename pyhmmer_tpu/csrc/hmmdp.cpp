@@ -666,6 +666,143 @@ struct TraceBuf {
 
 }  // namespace
 
+
+namespace {
+
+inline int choose_lin(Rng& rng, const double* w, int n) {
+    double tot = 0.0;
+    for (int i = 0; i < n; i++) tot += w[i];
+    if (tot <= 0.0) return 0;
+    double u = rng.uniform() * tot;
+    for (int i = 0; i < n; i++) {
+        u -= w[i];
+        if (u <= 0) return i;
+    }
+    return n - 1;
+}
+
+// Odds-space stochastic traceback ensemble (internal).  Matrices are raw
+// odds with per-row log scales (keep==2 layout); parser specials are in
+// log space.  Same sampling distribution as hmmdp_stotrace, ~5x fewer
+// transcendentals (the E-state draw over M+1 options is exp-free).
+int32_t stotrace_odds(
+    const uint8_t* dsq, int32_t L,
+    const double* Mm, const double* Im, const double* Dm,   // odds [L+1, W]
+    const double* rsc,                                      // [L+1] log scale
+    const double* xNv, const double* xBv, const double* xEv,
+    const double* xCv, const double* xJv,                   // [L+1] log
+    const ExpProf& P,
+    const double* xE, const double* xN, const double* xJ, const double* xC,
+    const double* odds_m, const double* odds_i,
+    int32_t M, int32_t K, int32_t nsamples, uint64_t seed,
+    int32_t* spans_out, int32_t max_spans, double* n2acc) {
+    const int W = M + 1;
+    Rng rng(seed);
+    double* uM = new double[W];
+    double* uI = new double[W];
+    double* lp = new double[W + 1];
+    int nspans = 0;
+
+    for (int s = 0; s < nsamples; s++) {
+        int state = 0;  // 0=C 1=E 2=M 3=D 4=I 5=B 6=J 7=N
+        int i = L, k = 0, end_i = 0;
+        int guard = 8 * (L + M) + 64;
+        while (guard-- > 0) {
+            if (i < 0 || k < 0 || k > M) break;
+            if ((state == 2 || state == 4) && i < 1) break;
+            if (state == 0) {          // C (log specials)
+                double o0 = i > 0 ? xCv[i - 1] + xC[0] : NEGMASS;
+                double o1 = xEv[i] + xE[1];
+                double two[2] = {o0, o1};
+                if (choose(rng, two, 2) == 0) i--;
+                else state = 1;
+            } else if (state == 1) {   // E: odds row i, exp-free
+                end_i = i;
+                for (int kk = 0; kk < W; kk++) { uM[kk] = 0; uI[kk] = 0; }
+                const double* Mr = Mm + (size_t)i * W;
+                for (int kk = 1; kk <= M; kk++) lp[kk - 1] = Mr[kk];
+                lp[M] = Dm[(size_t)i * W + M];
+                int c = choose_lin(rng, lp, M + 1);
+                if (c == M) { state = 3; k = M; }
+                else { state = 2; k = c + 1; }
+            } else if (state == 2) {   // M
+                uM[k] += 1;
+                const size_t om1 = (size_t)(i - 1) * W;
+                double o[4];
+                o[0] = k >= 2 ? Mm[om1 + k - 1] * P.eMM[k - 1] : 0.0;
+                o[1] = k >= 2 ? Im[om1 + k - 1] * P.eIM[k - 1] : 0.0;
+                o[2] = k >= 2 ? Dm[om1 + k - 1] * P.eDM[k - 1] : 0.0;
+                // B entry: log special vs odds row scale
+                double bl = xBv[i - 1] + std::log(P.eBM[k - 1] > 0.0
+                                                  ? P.eBM[k - 1] : 1e-300)
+                            - rsc[i - 1];
+                o[3] = bl > -690.0 ? std::exp(std::min(bl, 690.0)) : 0.0;
+                int c = choose_lin(rng, o, 4);
+                i--;
+                if (c == 3) {
+                    if (nspans < max_spans) {
+                        spans_out[3 * nspans] = s;
+                        spans_out[3 * nspans + 1] = i + 1;
+                        spans_out[3 * nspans + 2] = end_i;
+                        nspans++;
+                    }
+                    double tot = 0;
+                    for (int kk = 0; kk <= M; kk++) tot += uM[kk] + uI[kk];
+                    if (tot > 0) {
+                        for (int pos = i + 1; pos <= end_i; pos++) {
+                            uint8_t x = dsq[pos - 1];
+                            if (x >= K) continue;
+                            double v = 0;
+                            const double* om_ = odds_m + (size_t)x * W;
+                            const double* oi_ = odds_i + (size_t)x * W;
+                            for (int kk = 1; kk <= M; kk++)
+                                v += uM[kk] * om_[kk] + uI[kk] * oi_[kk];
+                            double val = v / tot;
+                            n2acc[pos] += val > 1e-30 ? std::log(val) : -69.0;
+                        }
+                    }
+                    state = 5;
+                } else if (c == 0) k--;
+                else if (c == 1) { state = 4; k--; }
+                else { state = 3; k--; }
+            } else if (state == 3) {   // D: odds row i
+                const size_t oi_ = (size_t)i * W;
+                double w0 = Mm[oi_ + k - 1] * P.eMD[k - 1];
+                double w1 = Dm[oi_ + k - 1] * P.eDD[k - 1];
+                double two[2] = {w0, w1};
+                if (choose_lin(rng, two, 2) == 0) { state = 2; k--; }
+                else k--;
+            } else if (state == 4) {   // I: odds row i-1
+                uI[k] += 1;
+                const size_t om1 = (size_t)(i - 1) * W;
+                double w0 = Mm[om1 + k] * P.eMI[k];
+                double w1 = Im[om1 + k] * P.eII[k];
+                double two[2] = {w0, w1};
+                i--;
+                if (choose_lin(rng, two, 2) == 0) state = 2;
+            } else if (state == 5) {   // B (log specials)
+                double o0 = xNv[i] + xN[1];
+                double o1 = xJv[i] + xJ[1];
+                double two[2] = {o0, o1};
+                state = choose(rng, two, 2) == 0 ? 7 : 6;
+            } else if (state == 6) {   // J
+                double o0 = i > 0 ? xJv[i - 1] + xJ[0] : NEGMASS;
+                double o1 = xEv[i] + xE[0];
+                double two[2] = {o0, o1};
+                if (choose(rng, two, 2) == 0) i--;
+                else state = 1;
+            } else {                   // N
+                if (i == 0) break;
+                i--;
+            }
+        }
+    }
+    delete[] uM; delete[] uI; delete[] lp;
+    return nspans;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns number of domains written, or -1 if a buffer was too small
@@ -989,21 +1126,23 @@ int32_t hmmdp_domaindef(
                 double* rxN = new double[Ld + 1]; double* rxB = new double[Ld + 1];
                 double* rxE = new double[Ld + 1]; double* rxC = new double[Ld + 1];
                 double* rxJ = new double[Ld + 1];
-                double rdummy[1];
+                double* rrsc = new double[Ld + 1];
                 hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
                               tMI, tII, msc, isc,
                               sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp,
-                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 1, rdummy);
+                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 2, rrsc);
                 const int max_spans = nsamples * 16;
                 int32_t* spans = new int32_t[3 * max_spans];
                 double* n2acc = new double[Ld + 2]();
                 uint64_t rseed = mix64(seed ^ mix64((uint64_t)region_idx + 1));
-                int nsp = hmmdp_stotrace(
-                    win, Ld, rM, rI, rD, rxN, rxB, rxE, rxC, rxJ,
-                    tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
-                    sr.xE, sr.xN, sr.xJ, sr.xC,
+                ExpProf EP(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+                           sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp);
+                int nsp = stotrace_odds(
+                    win, Ld, rM, rI, rD, rrsc, rxN, rxB, rxE, rxC, rxJ,
+                    EP, sr.xE, sr.xN, sr.xJ, sr.xC,
                     odds_m, odds_i, M, K, nsamples, rseed,
                     spans, max_spans, n2acc);
+                delete[] rrsc;
                 delete[] rM; delete[] rI; delete[] rD;
                 delete[] rxN; delete[] rxB; delete[] rxE; delete[] rxC;
                 delete[] rxJ;

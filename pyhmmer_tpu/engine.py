@@ -200,20 +200,11 @@ class SearchEngine:
     def _msv_dev(self, pb, dev):
         """Returns (dx, ovf) device arrays [P, B] f32 (pre-scale)."""
         if self.use_pallas:
-            from .ops.msv_pallas import _msv_pallas, KP_PAD
-            P = pb.P
-            Mp = ((pb.Mp + 127) // 128) * 128
-            if "pallas_adj" not in pb._device_cache:
-                adj = np.full((P, KP_PAD, Mp), -255.0, dtype=np.float32)
-                adj[:, : pb.Kp, : pb.Mp] = (pb.msv_bias[:, None, None]
-                                            - pb.msv_cost)
-                scal = np.stack(
-                    [pb.msv_bias, pb.msv_tec, pb.msv_tbm,
-                     np.zeros(P, np.float32)], axis=1).astype(np.float32)
-                pb._device_cache["pallas_adj"] = jnp.asarray(adj)
-                pb._device_cache["pallas_scal"] = jnp.asarray(scal)
-            return _msv_pallas(dev.codes_t, pb._device_cache["pallas_adj"],
-                               dev.tjb_col, pb._device_cache["pallas_scal"])
+            from .ops.msv_pallas import _msv_pallas, build_msv_tensors
+            t = build_msv_tensors(pb)
+            dx, ovf = _msv_pallas(dev.codes_t, t["cost"], dev.tjb_row,
+                                  t["scal"])
+            return dx[:, : dev.B], ovf[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
             dev.codes, dev.mask_f,
@@ -257,6 +248,22 @@ class SearchEngine:
         return out, n
 
     def _viterbi_dev(self, pb, dev, rows):
+        if self.use_pallas:
+            from .ops import fwd_pallas as FP
+            from .ops import vit_pallas as VP
+            n = len(rows)
+            Bp = max(128, _pad_b(n))
+            ridx = np.zeros(Bp, dtype=np.int32)
+            ridx[:n] = rows
+            codes_t = jnp.take(dev.codes_t, jnp.asarray(ridx), axis=1)
+            lengths = np.zeros(Bp, dtype=np.int64)
+            lengths[:n] = dev.lengths[rows]
+            t = VP.build_vit_tensors(pb)
+            lm = jnp.asarray(FP.lm_rows(lengths))
+            lens = jnp.asarray(lengths.reshape(1, -1).astype(np.int32))
+            out = VP._vit_pallas(lens, codes_t, t["msc"], t["isc"],
+                                 t["tr"], lm)
+            return out, n
         from .ops.batch import _viterbi_kernel
         codes, mask, loop, move, n = _gather_rows(dev, rows)
         xEj = np.float32(np.log(0.5))
@@ -297,158 +304,165 @@ class SearchEngine:
             if dev is None:
                 bucket[3] = B.SeqDevice(codes, lengths)
 
-        # ---- stage 1 (device): MSV + bias for every (chunk x bucket) ----
-        s1_jobs = []     # (ci, bi)
-        s1_parts = []    # device arrays, 3 per job: dx, ovf, bias-logsc
-        for ci, st in enumerate(states):
-            for bi, bucket in enumerate(buckets.buckets):
-                dev = bucket[3]
-                dx, ovf = self._msv_dev(st.pb, dev)
-                logsc = self._bias_dev(st.pb, dev)
-                s1_jobs.append((ci, bi))
-                s1_parts.extend([dx, ovf, logsc])
-        s1_np = _fetch_all(s1_parts)
-
-        # ---- stage 1 (host): gates, accounting, survivor selection ----
-        # per (ci, bi): dict entries used by later stages
-        ctx: dict = {}
-        s2_jobs = []     # (ci, bi, bsel)
-        s2_parts = []
-        for j, (ci, bi) in enumerate(s1_jobs):
-            st = states[ci]
-            Preal = st.Preal
-            idx, codes, lengths, dev = buckets.buckets[bi]
-            dx = s1_np[3 * j][:Preal].astype(np.float64)
-            ovf = s1_np[3 * j + 1][:Preal]
-            logsc = s1_np[3 * j + 2][:Preal].astype(np.float64)
-
-            nres = int(lengths.sum())
-            nseq_real = int((lengths > 0).sum())
-            for pli in st.pipelines:
-                pli.nseqs += nseq_real
-                pli.nres += nres
-
-            valid_b = lengths > 0
-            L = np.maximum(lengths.astype(np.float64), 1.0)
-            nullsc = (L * np.log(L / (L + 1.0))
-                      + np.log(1.0 / (L + 1.0)))          # [B]
-            usc = dx / st.pb.scale_b - 3.0
-            usc[ovf > 0] = np.inf
-            filtersc = logsc + nullsc[None, :]
-
-            P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
-                             st.ev[:, 0:1], st.ev[:, 1:2])
-            pass1 = (P1 <= st.F1) & valid_b[None, :]
-            P1b = gumbel_surv((usc - filtersc) / LOG2,
-                              st.ev[:, 0:1], st.ev[:, 1:2])
-            pass2 = pass1 & (P1b <= st.F1)
-            for pi, pli in enumerate(st.pipelines):
-                pli.n_past_msv += int(pass1[pi].sum())
-                pli.n_past_bias += int(pass2[pi].sum())
-            if not pass2.any():
-                continue
-            bsel = np.where(pass2.any(axis=0))[0]
-            ctx[(ci, bi)] = dict(usc=usc, filtersc=filtersc, nullsc=nullsc,
-                                 pass2=pass2, P1b=P1b, bsel=bsel)
-            s2_jobs.append((ci, bi))
-
-        # ---- stage 2 (device): Forward over bias survivors ----
-        # (reordered vs the reference's MSV->bias->Vit->Fwd: Forward runs
-        # on the bias survivors and the strict-F2 Viterbi gate is applied
-        # afterwards only where P1b did not already skip it -- the gate
-        # predicates are independent, so the surviving set is identical)
-        for ci, bi in s2_jobs:
-            st = states[ci]
-            dev = buckets.buckets[bi][3]
-            fsc_dev, nsel = self._forward_dev(st.pb, dev, ctx[(ci, bi)]["bsel"])
-            ctx[(ci, bi)]["nsel"] = nsel
-            s2_parts.append(fsc_dev)
-        s2_np = _fetch_all(s2_parts)
-
-        s3_jobs = []
-        s3_parts = []
-        for j, (ci, bi) in enumerate(s2_jobs):
-            st = states[ci]
-            c = ctx[(ci, bi)]
-            Preal = st.Preal
-            bsel, nsel = c["bsel"], c["nsel"]
-            fsc = s2_np[j][:Preal, :nsel].astype(np.float64)
-            P3 = exp_surv((fsc - c["filtersc"][:, bsel]) / LOG2,
-                          st.ev[:, 4:5], st.ev[:, 5:6])
-            # extra 1.5x device-side margin: the f32 device Forward wobbles
-            # a few millibits, so borderline targets must still reach the
-            # exact float64 re-check in stage 4 (which applies the real
-            # F3 * F3_SLACK gate)
-            pass_fwd = c["pass2"][:, bsel] & (P3 <= st.F3 * F3_SLACK * 1.5)
-            skip_vit = c["P1b"][:, bsel] <= st.F2
-            need_vit = pass_fwd & ~skip_vit
-            c["pass_fwd"] = pass_fwd
-            c["need_vit"] = need_vit
-            for pi, pli in enumerate(st.pipelines):
-                pli.n_past_vit += int((c["pass2"][pi, bsel]
-                                       & skip_vit[pi]).sum())
-            if need_vit.any():
-                vcols = np.where(need_vit.any(axis=0))[0]
-                c["vcols"] = vcols
-                dev = buckets.buckets[bi][3]
-                vsc_dev, nv = self._viterbi_dev(st.pb, dev, bsel[vcols])
-                c["nv"] = nv
-                s3_jobs.append((ci, bi))
-                s3_parts.append(vsc_dev)
-        s3_np = _fetch_all(s3_parts)
-
-        for j, (ci, bi) in enumerate(s3_jobs):
-            st = states[ci]
-            c = ctx[(ci, bi)]
-            Preal = st.Preal
-            bsel, vcols = c["bsel"], c["vcols"]
-            vsc = s3_np[j][:Preal, : c["nv"]].astype(np.float64)
-            P2 = gumbel_surv((vsc - c["filtersc"][:, bsel][:, vcols]) / LOG2,
-                             st.ev[:, 2:3], st.ev[:, 3:4])
-            keep = P2 <= st.F2
-            c["pass_fwd"][:, vcols] &= (~c["need_vit"][:, vcols]) | keep
-            for pi, pli in enumerate(st.pipelines):
-                pli.n_past_vit += int((c["need_vit"][pi, vcols]
-                                       & keep[pi]).sum())
-
-        # ---- stage 4 (host): exact float64 postprocessing per survivor ----
-        # The native C++ domain-definition driver recomputes the exact
-        # full-sequence Forward internally and releases the GIL, so the
-        # survivors run on a thread pool (the reference's worker-thread
-        # postprocessing, hmmer/_base.py, in miniature); the exact-score
-        # F3 gate re-check and Hit construction stay serial.
+        # ---- chunk waves: device filter stages per profile chunk, host
+        # postprocessing overlapped on a thread pool ----
+        # Each wave runs the MSV+bias / Forward / Viterbi stages for one
+        # profile chunk (stage-batched: one fetch per stage), then submits
+        # that chunk's Forward survivors to the GIL-releasing native
+        # domain-definition driver on a shared executor.  While the host
+        # threads chew on chunk k's survivors, chunk k+1's device kernels
+        # are already enqueued and running -- TPU and CPU time overlap
+        # (the batched analog of the reference's worker threads,
+        # hmmer/_base.py).  Exact-score gate re-checks and Hit
+        # construction happen serially at the end.
         from .ops import native as _native
-        jobs = []   # (st, pi, target index, bucket row, seed)
-        for ci, bi in s2_jobs:
-            st = states[ci]
-            c = ctx[(ci, bi)]
-            idx = buckets.buckets[bi][0]
-            bsel = c["bsel"]
-            for pi, pli in enumerate(st.pipelines):
-                for col in np.where(c["pass_fwd"][pi])[0]:
-                    b = int(bsel[col])
-                    seed = (pli.seed if pli.do_reseeding
-                            else int(pli._rng.integers(0, 2**62)))
-                    jobs.append((ci, bi, pi, int(idx[b]), b, seed))
+        import concurrent.futures as _cf
+        native_ok = _native.available()
+        nthreads = max(2, (os.cpu_count() or 2))
+        executor = _cf.ThreadPoolExecutor(nthreads) if native_ok else None
+        pending = []   # (job tuple, future | None)
 
         def _run_domaindef(job):
             ci, bi, pi, tgt, b, seed = job
             st = states[ci]
             pli = st.pipelines[pi]
-            if not _native.available():
-                return None
             return _native.domaindef(st.profs[pi], targets[tgt].sequence,
                                      pli.null2, seed)
 
-        if jobs and _native.available():
-            import concurrent.futures as _cf
-            nthreads = min(len(jobs), max(2, (os.cpu_count() or 2)))
-            with _cf.ThreadPoolExecutor(nthreads) as ex:
-                outs = list(ex.map(_run_domaindef, jobs))
-        else:
-            outs = [None] * len(jobs)
+        ctx: dict = {}
+        for ci, st in enumerate(states):
+            # -- stage 1 (device): MSV + bias over every bucket --
+            s1_parts = []
+            for bucket in buckets.buckets:
+                dev = bucket[3]
+                dx, ovf = self._msv_dev(st.pb, dev)
+                logsc = self._bias_dev(st.pb, dev)
+                s1_parts.extend([dx, ovf, logsc])
+            s1_np = _fetch_all(s1_parts)
 
-        for job, out in zip(jobs, outs):
+            # -- stage 1 (host): gates, accounting, survivor selection --
+            s2_jobs = []
+            s2_parts = []
+            for bi, bucket in enumerate(buckets.buckets):
+                idx, codes, lengths, dev = bucket
+                Preal = st.Preal
+                dx = s1_np[3 * bi][:Preal].astype(np.float64)
+                ovf = s1_np[3 * bi + 1][:Preal]
+                logsc = s1_np[3 * bi + 2][:Preal].astype(np.float64)
+
+                nres = int(lengths.sum())
+                nseq_real = int((lengths > 0).sum())
+                for pli in st.pipelines:
+                    pli.nseqs += nseq_real
+                    pli.nres += nres
+
+                valid_b = lengths > 0
+                L = np.maximum(lengths.astype(np.float64), 1.0)
+                nullsc = (L * np.log(L / (L + 1.0))
+                          + np.log(1.0 / (L + 1.0)))          # [B]
+                usc = dx / st.pb.scale_b - 3.0
+                usc[ovf > 0] = np.inf
+                filtersc = logsc + nullsc[None, :]
+
+                P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
+                                 st.ev[:, 0:1], st.ev[:, 1:2])
+                pass1 = (P1 <= st.F1) & valid_b[None, :]
+                P1b = gumbel_surv((usc - filtersc) / LOG2,
+                                  st.ev[:, 0:1], st.ev[:, 1:2])
+                pass2 = pass1 & (P1b <= st.F1)
+                for pi, pli in enumerate(st.pipelines):
+                    pli.n_past_msv += int(pass1[pi].sum())
+                    pli.n_past_bias += int(pass2[pi].sum())
+                if not pass2.any():
+                    continue
+                bsel = np.where(pass2.any(axis=0))[0]
+                ctx[(ci, bi)] = dict(filtersc=filtersc, nullsc=nullsc,
+                                     pass2=pass2, P1b=P1b, bsel=bsel)
+                s2_jobs.append((ci, bi))
+
+            # -- stage 2 (device): Forward over bias survivors --
+            # (reordered vs the reference's MSV->bias->Vit->Fwd: the
+            # odds-space Pallas Forward is cheaper per column than the
+            # max-plus Viterbi with its DD prefix scan, so Forward runs on
+            # the bias survivors and the strict-F2 Viterbi gate is applied
+            # afterwards only where P1b did not already skip it -- the
+            # gate predicates are independent, so the surviving set is
+            # identical to the reference order)
+            for cj, bi in s2_jobs:
+                c = ctx[(cj, bi)]
+                dev = buckets.buckets[bi][3]
+                fsc_dev, nsel = self._forward_dev(st.pb, dev, c["bsel"])
+                c["nsel"] = nsel
+                s2_parts.append(fsc_dev)
+            s2_np = _fetch_all(s2_parts)
+
+            s3_jobs = []
+            s3_parts = []
+            for j, (cj, bi) in enumerate(s2_jobs):
+                c = ctx[(cj, bi)]
+                Preal = st.Preal
+                bsel, nsel = c["bsel"], c["nsel"]
+                c["fcols"] = bsel
+                fsc = s2_np[j][:Preal, :nsel].astype(np.float64)
+                P3 = exp_surv((fsc - c["filtersc"][:, bsel]) / LOG2,
+                              st.ev[:, 4:5], st.ev[:, 5:6])
+                # extra 1.5x device-side margin: the f32 device Forward
+                # wobbles a few millibits, so borderline targets must still
+                # reach the exact float64 re-check (which applies the real
+                # F3 * F3_SLACK gate)
+                pass_fwd = c["pass2"][:, bsel] & (P3 <= st.F3
+                                                  * F3_SLACK * 1.5)
+                skip_vit = c["P1b"][:, bsel] <= st.F2
+                need_vit = pass_fwd & ~skip_vit
+                c["pass_fwd"] = pass_fwd
+                c["need_vit"] = need_vit
+                for pi, pli in enumerate(st.pipelines):
+                    pli.n_past_vit += int((c["pass2"][pi, bsel]
+                                           & skip_vit[pi]).sum())
+                if need_vit.any():
+                    vcols = np.where(need_vit.any(axis=0))[0]
+                    c["vcols"] = vcols
+                    dev = buckets.buckets[bi][3]
+                    vsc_dev, nv = self._viterbi_dev(st.pb, dev, bsel[vcols])
+                    c["nv"] = nv
+                    s3_jobs.append((cj, bi))
+                    s3_parts.append(vsc_dev)
+            s3_np = _fetch_all(s3_parts)
+
+            # -- stage 3 (host): Viterbi gate on the leftover columns --
+            for j, (cj, bi) in enumerate(s3_jobs):
+                c = ctx[(cj, bi)]
+                Preal = st.Preal
+                bsel, vcols = c["bsel"], c["vcols"]
+                vsc = s3_np[j][:Preal, : c["nv"]].astype(np.float64)
+                P2 = gumbel_surv(
+                    (vsc - c["filtersc"][:, bsel][:, vcols]) / LOG2,
+                    st.ev[:, 2:3], st.ev[:, 3:4])
+                keep = P2 <= st.F2
+                c["pass_fwd"][:, vcols] &= (~c["need_vit"][:, vcols]) | keep
+                for pi, pli in enumerate(st.pipelines):
+                    pli.n_past_vit += int((c["need_vit"][pi, vcols]
+                                           & keep[pi]).sum())
+
+            # -- submit this chunk's survivors to the host pool --
+            for cj, bi in s2_jobs:
+                c = ctx[(cj, bi)]
+                if "pass_fwd" not in c:
+                    continue
+                idx = buckets.buckets[bi][0]
+                fcols = c["fcols"]
+                for pi, pli in enumerate(st.pipelines):
+                    for col in np.where(c["pass_fwd"][pi])[0]:
+                        b = int(fcols[col])
+                        seed = (pli.seed if pli.do_reseeding
+                                else int(pli._rng.integers(0, 2**62)))
+                        job = (cj, bi, pi, int(idx[b]), b, seed)
+                        fut = (executor.submit(_run_domaindef, job)
+                               if executor is not None else None)
+                        pending.append((job, fut))
+
+        # ---- collect: exact-score gate re-check + Hit construction ----
+        for job, fut in pending:
             ci, bi, pi, tgt, b, seed = job
             st = states[ci]
             c = ctx[(ci, bi)]
@@ -457,6 +471,7 @@ class SearchEngine:
             lengths = buckets.buckets[bi][2]
             Lb = int(lengths[b])
             nullsc_b = float(c["nullsc"][b])
+            out = fut.result() if fut is not None else None
             if out is not None:
                 fwdsc, res = out
             else:
@@ -479,6 +494,8 @@ class SearchEngine:
             else:
                 pli._finish_target(st.profs[pi], st.profs_uni[pi], sq,
                                    st.tophits[pi], fwd, nullsc_b)
+        if executor is not None:
+            executor.shutdown()
 
         # ---- finalize ----
         for st in states:

@@ -208,8 +208,13 @@ class SeqDevice:
         L = np.maximum(lengths.astype(np.float64), 1.0)
         mask = (np.arange(self.Lmax)[None, :] < lengths[:, None])
         self.codes = jnp.asarray(codes, jnp.int32)
-        self.codes_t = jnp.asarray(
-            np.ascontiguousarray(codes.T), jnp.int32)
+        # lane-padded transposed codes for the Pallas kernels (lane dim =
+        # sequences, padded to a 128 multiple; every kernel output is
+        # sliced back to [:B], so the pad lanes' values are never read)
+        self.Bpad = max(128, round_up(self.B, 128))
+        codes_tp = np.zeros((self.Lmax, self.Bpad), dtype=np.int32)
+        codes_tp[:, : self.B] = codes.T
+        self.codes_t = jnp.asarray(codes_tp, jnp.int32)
         self.mask_f = jnp.asarray(mask, jnp.float32)
         self.mask_b = jnp.asarray(mask, bool)
         pmove = 3.0 / (L + 3.0)
@@ -219,6 +224,9 @@ class SeqDevice:
         scale = 3.0 / np.log(2.0)
         tjb = np.minimum(255, np.rint(-scale * np.log(3.0 / (L + 3.0))))
         self.tjb = jnp.asarray(tjb, jnp.float32)
+        tjb_pad = np.zeros(self.Bpad, dtype=np.float32)
+        tjb_pad[: self.B] = tjb
+        self.tjb_row = jnp.asarray(tjb_pad.reshape(1, -1), jnp.float32)
         self.tjb_col = jnp.asarray(
             np.concatenate([tjb, np.zeros(_pad8(self.B) - self.B)]
                            ).reshape(-1, 1), jnp.float32)

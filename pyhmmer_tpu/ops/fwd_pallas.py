@@ -19,6 +19,9 @@ HMMER's odds-space striped Forward ``impl_sse/fwdback.c``):
 * **layout [M(sublanes), B(lanes)]**: specials (E/N/J/C/B) are ``[1, B]``
   lane vectors; the E collection is a sublane reduction.
 * emission odds are gathered with a one-hot MXU matmul per row.
+* matmuls run at DEFAULT (single-pass bf16) precision: ~0.03 nat score
+  wobble, far inside the engine's device-side gate margin; reported
+  scores always come from the exact float64 native rescoring.
 
 Padding contract: sequence tails are nonresidue-coded (emission odds 0),
 so dead rows hold zero mass; per-sequence specials freeze via the
@@ -77,11 +80,11 @@ def _fwd_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, tdd_ref,
         ms = jax.lax.dot_general(
             ems_ref[0], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                 # [Mp, Bt]
+            precision=jax.lax.Precision.DEFAULT)                 # [Mp, Bt]
         is_ = jax.lax.dot_general(
             eis_ref[0], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.DEFAULT)
 
         j_ = spec[0:1, :]
         c_ = spec[1:2, :]
@@ -97,7 +100,7 @@ def _fwd_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, tdd_ref,
         nd = jax.lax.dot_general(
             tdd_ref[0], nm, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                 # [Mp, Bt]
+            precision=jax.lax.Precision.DEFAULT)                 # [Mp, Bt]
         e = (jnp.sum(nm, axis=0, keepdims=True)
              + jnp.sum(nd, axis=0, keepdims=True))              # [1, Bt]
         nj = j_ * loop_o + e * eE0
