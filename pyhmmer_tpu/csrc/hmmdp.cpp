@@ -821,6 +821,7 @@ int32_t hmmdp_domaindef(
     const uint8_t* deg_one,                      // [Kp] 1 => null2 = 1.0
     int32_t do_null2, uint64_t seed, int32_t nsamples,
     double rt1, double rt2, double rt3,
+    double fwd_min,                              // bail if fwdsc < fwd_min
     double* out_scalars,                         // [6]
     double* n2sc,                                // [L+1], zeroed by caller
     int32_t* dom_int,                            // [max_dom * 6]
@@ -847,6 +848,16 @@ int32_t hmmdp_domaindef(
                                  sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
                                  fxN, fxB, fxE, fxC, fxJ,
                                  dummy, dummy, dummy, 0, dummy);
+    if (fwdsc < fwd_min) {
+        // exact-score gate miss: the caller's F3 re-check would drop this
+        // target anyway, so skip Backward/decode/rescoring entirely
+        out_scalars[0] = fwdsc;
+        out_scalars[1] = 0.0; out_scalars[2] = 0.0; out_scalars[3] = 0.0;
+        out_scalars[4] = 0.0; out_scalars[5] = 0.0;
+        delete[] fxN; delete[] fxB; delete[] fxE; delete[] fxC; delete[] fxJ;
+        delete[] bxN; delete[] bxB; delete[] bxE; delete[] bxC; delete[] bxJ;
+        return 0;
+    }
     hmmdp_backward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
                    tMI, tII, msc, isc,
                    sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,

@@ -215,6 +215,7 @@ class SeqDevice:
         codes_tp = np.zeros((self.Lmax, self.Bpad), dtype=np.int32)
         codes_tp[:, : self.B] = codes.T
         self.codes_t = jnp.asarray(codes_tp, jnp.int32)
+        self.lens_d = jnp.asarray(lengths.astype(np.int32))
         self.mask_f = jnp.asarray(mask, jnp.float32)
         self.mask_b = jnp.asarray(mask, bool)
         pmove = 3.0 / (L + 3.0)

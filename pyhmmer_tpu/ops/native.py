@@ -107,6 +107,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _D, _U8,                            # degw, deg_one
         _I32, ctypes.c_uint64, _I32,        # do_null2, seed, nsamples
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,                    # fwd_min (exact-gate bail)
         _D, _D,                             # out_scalars, n2sc
         _I32P, _D, _I32,                    # dom_int, dom_dbl, max_dom
         _I8P, _I32P, _I32P, _D,             # trace arrays
@@ -276,16 +277,45 @@ def _null2_tables(alphabet):
     return cached
 
 
+def _odds_tables(prof):
+    """Per-profile emission odds tables for null2 (cached on the
+    profile; rebuilt on reconfig is unnecessary -- emissions are
+    length-independent)."""
+    cached = getattr(prof, "_native_odds", None)
+    if cached is None or cached[0] != prof.M:
+        K = prof.alphabet.K
+        odds_m = np.ascontiguousarray(
+            np.exp(np.maximum(prof.msc[:K, :], -700.0)), dtype=np.float64)
+        odds_i = np.ascontiguousarray(
+            np.exp(np.maximum(prof.isc[:K, :], -700.0)), dtype=np.float64)
+        cached = (prof.M, odds_m, odds_i)
+        prof._native_odds = cached
+    return cached[1], cached[2]
+
+
+def prewarm(prof) -> None:
+    """Build and cache the C-ABI tensors for a profile off the critical
+    path (first-call tensor construction otherwise lands on a worker)."""
+    if get_lib() is None:
+        return
+    get_tensors(prof)
+    _odds_tables(prof)
+    _null2_tables(prof.alphabet)
+
+
 def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
               nsamples: int = 200, rt1: float = 0.25, rt2: float = 0.10,
-              rt3: float = 0.20):
+              rt3: float = 0.20, fwd_min: float = -np.inf):
     """Full native domain definition for one Forward survivor.
 
     Runs the complete ``p7_domaindef_ByPosteriorHeuristics`` machinery in
     C++ (full-L fwd/bck parsers, region heuristics, stochastic-ensemble
     clustering, unihit rescoring with null2 + optimal accuracy).  Returns
     ``(fwdsc, DomainDefResult)``; ``None`` if the native library is
-    unavailable or a buffer overflowed (caller falls back to Python)."""
+    unavailable or a buffer overflowed (caller falls back to Python).
+    If the exact Forward score lands below ``fwd_min`` (the caller's
+    F3-gate threshold in nats) the driver bails after Forward and returns
+    an empty result carrying only ``fwdsc``."""
     from ..plan7 import domaindef as dd
     lib = get_lib()
     if lib is None:
@@ -294,10 +324,7 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     L = int(len(dsq))
     K = prof_multi.alphabet.K
     W = pt.M + 1
-    odds_m = np.ascontiguousarray(
-        np.exp(np.maximum(prof_multi.msc[:K, :], -700.0)), dtype=np.float64)
-    odds_i = np.ascontiguousarray(
-        np.exp(np.maximum(prof_multi.isc[:K, :], -700.0)), dtype=np.float64)
+    odds_m, odds_i = _odds_tables(prof_multi)
     degw, deg_one = _null2_tables(prof_multi.alphabet)
     max_dom = max(64, min(1024, L // 2 + 8))
     max_tr = int(L + max_dom * (pt.M + 64) + 1024)
@@ -317,7 +344,7 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
         pt.msc, pt.isc, pt.M, K, pt.Kp,
         odds_m, odds_i, degw, deg_one,
         1 if do_null2 else 0, seed & 0x7FFFFFFFFFFFFFFF, nsamples,
-        rt1, rt2, rt3,
+        rt1, rt2, rt3, float(fwd_min),
         out_scalars, n2sc, dom_int, dom_dbl, max_dom,
         tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr)
     if ndom < 0:

@@ -223,18 +223,22 @@ class Pipeline:
             bck = ref.backward(prof, dsq)
             res = dd.define_domains(prof, prof_uni, dsq, fwd, bck,
                                     do_null2=self.null2, rng=self._rng)
-        self._build_hit(prof, sq, hits, fwdsc, nullsc, res)
+        hit = self._build_hit(prof, sq, hits, fwdsc, nullsc, res)
+        if hit is not None:
+            hits.hits.append(hit)
 
     def _build_hit(self, prof: Profile, sq: DigitalSequence, hits: TopHits,
                    fwdsc: float, nullsc: float,
-                   res: "dd.DomainDefResult") -> None:
-        """Construct the Hit/Domain records from a domain-definition result
-        (the score-assembly tail of ``p7_Pipeline``)."""
+                   res: "dd.DomainDefResult") -> "Optional[Hit]":
+        """Construct and return the Hit/Domain records from a
+        domain-definition result (the score-assembly tail of
+        ``p7_Pipeline``).  Thread-safe (reads only); the caller appends
+        the returned hit to its TopHits."""
         L = len(sq)
         bg = self.background
         ev = prof.evparam.astype(np.float64)
         if res.nregions == 0 or len(res.domains) == 0:
-            return
+            return None
 
         # 6. per-sequence scores with null2 correction
         omega = bg.omega
@@ -305,7 +309,7 @@ class Pipeline:
             if bitsc > best_sc:
                 best_sc, best_idx = bitsc, di
         hit.best_domain_idx = best_idx
-        hits.hits.append(hit)
+        return hit
 
     def _make_alignment(self, prof: Profile, sq: DigitalSequence,
                         d: dd.DomainEnvelope):
