@@ -10,7 +10,9 @@ bio I/O.  See SURVEY.md for the reference blueprint.
 __version__ = "0.1.0"
 
 from . import easel
+from . import errors
 from . import plan7
+from . import daemon
 from .hmmer import (
     hmmsearch,
     hmmscan,
@@ -22,7 +24,7 @@ from .hmmer import (
 )
 
 __all__ = [
-    "easel", "plan7", "hmmer",
+    "easel", "errors", "plan7", "hmmer", "daemon",
     "hmmsearch", "hmmscan", "phmmer", "nhmmer", "jackhmmer",
     "hmmalign", "hmmpress", "__version__",
 ]

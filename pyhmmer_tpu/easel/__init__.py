@@ -1,6 +1,6 @@
 """Bio primitives: alphabets, sequences, MSAs, file parsers (Easel-equivalent)."""
 
-from .alphabet import Alphabet
+from .alphabet import Alphabet, DNA, RNA, AA
 from .sequence import (
     Sequence,
     TextSequence,

@@ -102,11 +102,11 @@ class Alphabet:
 
     @classmethod
     def dna(cls) -> "Alphabet":
-        return DNA
+        return DNA()
 
     @classmethod
     def rna(cls) -> "Alphabet":
-        return RNA
+        return RNA()
 
     @classmethod
     def from_type(cls, type_code: int) -> "Alphabet":
@@ -118,9 +118,9 @@ class Alphabet:
         if n in ("amino", "aa", "protein"):
             return AMINO
         if n == "dna":
-            return DNA
+            return DNA()
         if n == "rna":
-            return RNA
+            return RNA()
         raise ValueError(f"unknown alphabet: {name!r}")
 
     # --- properties --------------------------------------------------------
@@ -207,47 +207,89 @@ class Alphabet:
 
 
 # --- the three standard alphabets (Easel type codes: RNA=1, DNA=2, AMINO=3) ---
+#
+# Like the reference (easel.pyi:61-63), ``DNA``/``RNA``/``AA`` are Alphabet
+# subclasses; they are singletons so repeated construction is free and
+# equality/identity behave like the reference's cached alphabets.
 
-AMINO = Alphabet(
-    name="amino",
-    type_code=3,
-    symbols="ACDEFGHIKLMNPQRSTVWY-BJZOUX*~",
-    K=20,
-    degeneracy={
-        "B": "DN",
-        "J": "IL",
-        "Z": "EQ",
-        "O": "K",   # pyrrolysine -> Lys
-        "U": "C",   # selenocysteine -> Cys
-        "X": "ACDEFGHIKLMNPQRSTVWY",
-    },
-)
 
-DNA = Alphabet(
-    name="dna",
-    type_code=2,
-    symbols="ACGT-RYMKSWHBVDN*~",
-    K=4,
-    degeneracy={
-        "R": "AG", "Y": "CT", "M": "AC", "K": "GT", "S": "CG", "W": "AT",
-        "H": "ACT", "B": "CGT", "V": "ACG", "D": "AGT", "N": "ACGT",
-    },
-    extra_inmap={"U": "T", "I": "N"},
-    complement="TGCA-YRKMSWDVBHN*~",
-)
+class _SingletonAlphabet(Alphabet):
+    _instance = None
 
-RNA = Alphabet(
-    name="rna",
-    type_code=1,
-    symbols="ACGU-RYMKSWHBVDN*~",
-    K=4,
-    degeneracy={
-        "R": "AG", "Y": "CU", "M": "AC", "K": "GU", "S": "CG", "W": "AU",
-        "H": "ACU", "B": "CGU", "V": "ACG", "D": "AGU", "N": "ACGU",
-    },
-    extra_inmap={"T": "U", "I": "N"},
-    complement="UGCA-YRKMSWDVBHN*~",
-)
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __init__(self):
+        if getattr(self, "Kp", None) is not None:
+            return  # singleton already initialized
+        super().__init__(**self._params())
+
+    def __reduce__(self):
+        return (type(self), ())
+
+
+class AA(_SingletonAlphabet):
+    """The 20-letter protein alphabet (``eslAMINO``)."""
+
+    @staticmethod
+    def _params():
+        return dict(
+            name="amino",
+            type_code=3,
+            symbols="ACDEFGHIKLMNPQRSTVWY-BJZOUX*~",
+            K=20,
+            degeneracy={
+                "B": "DN",
+                "J": "IL",
+                "Z": "EQ",
+                "O": "K",   # pyrrolysine -> Lys
+                "U": "C",   # selenocysteine -> Cys
+                "X": "ACDEFGHIKLMNPQRSTVWY",
+            },
+        )
+
+
+class DNA(_SingletonAlphabet):
+    """The 4-letter DNA alphabet (``eslDNA``)."""
+
+    @staticmethod
+    def _params():
+        return dict(
+            name="dna",
+            type_code=2,
+            symbols="ACGT-RYMKSWHBVDN*~",
+            K=4,
+            degeneracy={
+                "R": "AG", "Y": "CT", "M": "AC", "K": "GT", "S": "CG", "W": "AT",
+                "H": "ACT", "B": "CGT", "V": "ACG", "D": "AGT", "N": "ACGT",
+            },
+            extra_inmap={"U": "T", "I": "N"},
+            complement="TGCA-YRKMSWDVBHN*~",
+        )
+
+
+class RNA(_SingletonAlphabet):
+    """The 4-letter RNA alphabet (``eslRNA``)."""
+
+    @staticmethod
+    def _params():
+        return dict(
+            name="rna",
+            type_code=1,
+            symbols="ACGU-RYMKSWHBVDN*~",
+            K=4,
+            degeneracy={
+                "R": "AG", "Y": "CU", "M": "AC", "K": "GU", "S": "CG", "W": "AU",
+                "H": "ACU", "B": "CGU", "V": "ACG", "D": "AGU", "N": "ACGU",
+            },
+            extra_inmap={"T": "U", "I": "N"},
+            complement="UGCA-YRKMSWDVBHN*~",
+        )
+
+
+AMINO = AA()
 
 
 def Amino() -> Alphabet:
@@ -255,8 +297,8 @@ def Amino() -> Alphabet:
 
 
 def Dna() -> Alphabet:
-    return DNA
+    return DNA()
 
 
 def Rna() -> Alphabet:
-    return RNA
+    return RNA()

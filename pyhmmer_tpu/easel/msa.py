@@ -20,6 +20,20 @@ __all__ = ["MSA", "TextMSA", "DigitalMSA"]
 class MSA:
     """Base alignment: names + metadata + annotation lines."""
 
+    def write(self, fh, format: str = "stockholm") -> None:
+        """Write the MSA to a binary file handle (reference ``MSA.write``)."""
+        import io as _io
+        from .msafile import write_stockholm, write_afa
+
+        text = _io.StringIO()
+        if format in ("stockholm", "pfam"):
+            write_stockholm(self, text)
+        elif format in ("afa", "fasta", "a2m"):
+            write_afa(self, text)
+        else:
+            raise ValueError(f"unsupported MSA format: {format!r}")
+        fh.write(text.getvalue().encode("ascii"))
+
     def __init__(self, name: Optional[bytes] = None):
         self.name = name
         self.accession: Optional[bytes] = None

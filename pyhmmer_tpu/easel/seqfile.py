@@ -15,7 +15,7 @@ import gzip
 import numpy as np
 from typing import Iterator, List, Optional, Union
 
-from .alphabet import Alphabet, AMINO, DNA, RNA
+from .alphabet import Alphabet, AMINO, DNA, RNA  # noqa: F401  (DNA/RNA are singleton classes)
 from .sequence import (
     DigitalSequence,
     DigitalSequenceBlock,
@@ -43,8 +43,8 @@ def guess_alphabet_text(seq: str) -> Optional[Alphabet]:
     rna_chars = sum(counts.get(c, 0) for c in "ACGUN")
     if dna_chars >= 0.98 * total or rna_chars >= 0.98 * total:
         if counts.get("U", 0) > counts.get("T", 0):
-            return RNA
-        return DNA
+            return RNA()
+        return DNA()
     return AMINO
 
 

@@ -46,6 +46,19 @@ class Sequence:
     def __len__(self) -> int:
         raise NotImplementedError
 
+    def write(self, fh) -> None:
+        """Write the sequence to a binary file handle in FASTA format
+        (reference ``Sequence.write``, ``easel.pyx:8016-8056``)."""
+        text = self.sequence if isinstance(getattr(self, "sequence", None), str) \
+            else self.textize().sequence
+        header = b">" + (self.name or b"")
+        if self.description:
+            header += b" " + self.description
+        fh.write(header + b"\n")
+        data = text.encode("ascii")
+        for i in range(0, len(data), 60):
+            fh.write(data[i : i + 60] + b"\n")
+
     def _meta(self) -> dict:
         return dict(
             name=self.name,

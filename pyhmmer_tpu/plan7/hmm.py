@@ -9,16 +9,18 @@ tensors are derived in :mod:`pyhmmer_tpu.plan7.profile`.
 
 from __future__ import annotations
 
+import enum
 import hashlib
 import numpy as np
 from typing import List, Optional, Tuple
 
 from ..easel.alphabet import Alphabet
+from .views import Cutoffs, EvalueParameters
 
 __all__ = ["HMM", "Transitions", "HMMFlags"]
 
 
-class Transitions:
+class Transitions(enum.IntEnum):
     """Indexes of the 7 per-node transitions (ref ``plan7.pyx:9615-9634``)."""
     MM = 0
     MI = 1
@@ -88,10 +90,17 @@ class HMM:
         self.creation_time: Optional[str] = None
         self.command_line: Optional[str] = None
         self.composition: Optional[np.ndarray] = None  # compo[K]
-        self.evparam = np.full(6, EV_UNSET, dtype=np.float32)
-        self.cutoffs = np.full(6, CUTOFF_UNSET, dtype=np.float32)  # ga1,ga2,tc1,tc2,nc1,nc2
         self.flags = HMMFlags.HASPROB
+        self.evparam = EvalueParameters()  # MMU,MLAMBDA,VMU,VLAMBDA,FTAU,FLAMBDA
+        self.cutoffs = Cutoffs()           # ga1,ga2,tc1,tc2,nc1,nc2
+        self.evparam._owner = self
+        self.cutoffs._owner = self
         self.max_length: Optional[int] = None
+
+    @property
+    def evalue_parameters(self) -> EvalueParameters:
+        """The E-value parameters view (ref ``plan7.pyx:2660-2668``)."""
+        return self.evparam
 
     # --- cutoffs accessors --------------------------------------------------
 
@@ -155,6 +164,8 @@ class HMM:
                            else self.composition.copy())
         new.evparam = self.evparam.copy()
         new.cutoffs = self.cutoffs.copy()
+        new.evparam._owner = new
+        new.cutoffs._owner = new
         return new
 
     def zero(self) -> None:

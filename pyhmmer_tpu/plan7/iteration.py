@@ -44,6 +44,11 @@ class IterativeSearch:
     def __iter__(self):
         return self
 
+    def _search_hmm(self, hmm: HMM) -> TopHits:
+        """Run one round's search; overridden by the daemon-backed variant
+        (reference ``daemon.pyx:257-262``)."""
+        return self.pipeline.search_hmm(hmm, self.targets)
+
     def __next__(self) -> IterationResult:
         if self.converged:
             raise StopIteration
@@ -57,7 +62,7 @@ class IterativeSearch:
         else:
             hmm, _, _ = self.builder.build_msa(self._msa, pli.background)
 
-        hits = pli.search_hmm(hmm, self.targets)
+        hits = self._search_hmm(hmm)
         if self.select_hits is not None:
             self.select_hits(hits)
             hits.threshold()

@@ -19,6 +19,7 @@ import numpy as np
 from typing import Iterator, List, Optional
 
 from ..easel.alphabet import Alphabet
+from .views import Offsets
 from .hmm import HMM
 from .background import Background
 from .profile import Profile
@@ -34,7 +35,7 @@ class OptimizedProfile:
     def __init__(self, profile: Profile, quant: Optional[MSVQuant] = None):
         self._profile = profile
         self.quant = quant or quantize_msv(profile)
-        self.offsets = (-1, -1, -1)
+        self.offsets = Offsets()
 
     @classmethod
     def convert(cls, profile: Profile) -> "OptimizedProfile":
@@ -69,6 +70,19 @@ class OptimizedProfile:
     @property
     def evparam(self):
         return self._profile.evparam
+
+    @property
+    def evalue_parameters(self):
+        """The E-value parameters view (ref ``plan7.pyx:4183+``)."""
+        return self._profile.evparam
+
+    @property
+    def local(self) -> bool:
+        return self._profile.local
+
+    @property
+    def multihit(self) -> bool:
+        return self._profile.multihit
 
     @property
     def cutoffs(self):

@@ -17,14 +17,29 @@ a one-hot matmul on the MXU).
 
 from __future__ import annotations
 
+import enum
 import numpy as np
 from typing import Optional
 
 from ..easel.alphabet import Alphabet
+from .views import Cutoffs, EvalueParameters, Offsets
 from .hmm import HMM, Transitions as T, HMMFlags
 from .background import Background
 
-__all__ = ["Profile"]
+__all__ = ["Profile", "ProfileTransitions"]
+
+
+class ProfileTransitions(enum.IntEnum):
+    """Indexes of the configured profile transitions (``p7P_*``; ref
+    ``plan7.pyx:9636-9650``)."""
+    MM = 0
+    IM = 1
+    DM = 2
+    BM = 3
+    MD = 4
+    DD = 5
+    MI = 6
+    II = 7
 
 NEGINF = -np.inf
 
@@ -62,11 +77,16 @@ class Profile:
         self.description: Optional[bytes] = None
         self.consensus: Optional[bytes] = None
         self.consensus_structure: Optional[bytes] = None
-        self.evparam = np.full(6, -99999.0, dtype=np.float32)
-        self.cutoffs = np.full(6, -99999.0, dtype=np.float32)
+        self.evparam = EvalueParameters()
+        self.cutoffs = Cutoffs()
         self.compo: Optional[np.ndarray] = None
         self.max_length: Optional[int] = None
-        self.offsets = (-1, -1, -1)
+        self.offsets = Offsets()
+
+    @property
+    def evalue_parameters(self) -> EvalueParameters:
+        """The E-value parameters view (ref ``plan7.pyx:7548+``)."""
+        return self.evparam
 
     # --- configuration (p7_ProfileConfig) ----------------------------------
 

@@ -14,6 +14,7 @@ import numpy as np
 from typing import List, Optional, TYPE_CHECKING
 
 from .evalues import exp_logsurv
+from .views import Domains
 
 LOG2 = math.log(2.0)
 
@@ -116,7 +117,7 @@ class Hit:
         self.nclustered = nclustered
         self.noverlaps = noverlaps
         self.nenvelopes = nenvelopes
-        self.domains: List[Domain] = []
+        self.domains: Domains = Domains(self)
         self.best_domain_idx = 0
         self.flags = F_NEW
 
