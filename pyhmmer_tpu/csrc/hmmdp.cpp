@@ -1292,3 +1292,45 @@ int32_t hmmdp_domaindef(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Composition bias filter (p7_bg_FilterScore semantics, matching
+// plan7/background.py Background.filter_score exactly): 2-state odds-space
+// forward with conditional rescaling.  odds1[Kp] is the state-1 emission
+// odds table (state 0 emits odds 1 everywhere); returns the log-odds
+// score WITHOUT the null1 geometric length term.
+double hmmdp_bias_filter(const uint8_t* dsq, int32_t L,
+                         const double* odds1) {
+    if (L <= 0) return 0.0;
+    double p1 = (double)L / (double)(L + 1);
+    double t00 = p1, t01 = 1.0 - p1;
+    const double t11 = 10.0 / 11.0, t10 = 1.0 / 11.0;
+    double a0 = 0.5, a1 = 0.5 * odds1[dsq[0]];
+    double logsc = 0.0;
+    for (int32_t i = 1; i < L; i++) {
+        double n0 = a0 * t00 + a1 * t10;
+        double n1 = (a0 * t01 + a1 * t11) * odds1[dsq[i]];
+        double s = n0 + n1;
+        if (s > 0 && (s > 1e30 || s < 1e-30)) {
+            n0 /= s; n1 /= s;
+            logsc += log(s);
+        }
+        a0 = n0; a1 = n1;
+    }
+    return logsc + log(a0 + a1);
+}
+
+// Batched variant: one call per (profile, set-of-survivors) to keep
+// ctypes overhead off the per-pair path.  codes [N, Lmax] row-major,
+// lens [N]; writes logsc[N].
+void hmmdp_bias_filter_batch(const uint8_t* codes, const int64_t* lens,
+                             int32_t N, int32_t Lmax,
+                             const double* odds1, double* out) {
+    for (int32_t n = 0; n < N; n++) {
+        out[n] = hmmdp_bias_filter(codes + (int64_t)n * Lmax,
+                                   (int32_t)lens[n], odds1);
+    }
+}
+
+}  // extern "C"

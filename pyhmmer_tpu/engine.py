@@ -240,10 +240,12 @@ class SearchEngine:
     def _msv_dev(self, pb, dev):
         """Returns (dx, ovf) device arrays [P, B] f32 (pre-scale)."""
         if self.use_pallas:
-            from .ops.msv_pallas import _msv_pallas, build_msv_tensors
+            from .ops.msv_pallas import (_msv_pallas, _strip_r,
+                                         build_msv_tensors)
             t = build_msv_tensors(pb)
-            dx, ovf = _msv_pallas(dev.codes_t, t["cost"], dev.tjb_row,
-                                  t["scal"])
+            R = _strip_r(t["cost"].shape[1], dev.Bpad)
+            dx, ovf = _msv_pallas(dev.strips(R), t["cost"], dev.tjb_row,
+                                  t["scal"], R)
             return dx[:, : dev.B], ovf[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
@@ -252,13 +254,24 @@ class SearchEngine:
             dev.tjb, pb.Kp)
         return dx, ovf.astype(jnp.float32)
 
-    def _bias_dev(self, pb, dev):
-        """Bias-filter log score (no null term) device array [P, B]."""
-        from .ops.batch import _bias_scan
-        mean1 = 10.0
-        t11 = np.float32(mean1 / (mean1 + 1.0))
-        return _bias_scan(dev.codes, dev.mask_b,
-                          *pb.device("filter_odds"), dev.p1, t11, pb.Kp)
+    def _bias_host(self, st, pi, codes, lengths, cols):
+        """Bias-filter log scores (no null term) for one profile over the
+        selected survivor rows of a bucket -- exact f64 on the host (the
+        reference runs the bias filter only on MSV survivors, ~2% of
+        targets, so this is off the device critical path entirely)."""
+        from .ops import native as _native
+        e1 = st.pipelines[pi].background.filter_odds_table()
+        out = _native.bias_filter_batch(e1, codes[cols], lengths[cols])
+        if out is None:                      # no native library: per-seq
+            bgf = st.pipelines[pi].background
+            out = np.empty(len(cols))
+            for j, b in enumerate(cols):
+                Lb = int(lengths[b])
+                dsq = codes[b, :Lb]
+                p1 = Lb / (Lb + 1.0)
+                out[j] = (bgf.filter_score(dsq)
+                          - Lb * np.log(p1) - np.log(1.0 - p1))
+        return out
 
     def _forward_dev(self, pb, dev, rows):
         if self.use_pallas:
@@ -323,12 +336,13 @@ class SearchEngine:
         results: List[Optional[TopHits]] = [None] * len(queries)
 
         # group queries by padded model length so they share kernel shapes
-        # (coarse 256-steps: compute is cheap next to compile/dispatch)
+        # (128-steps = the TPU lane width; finer padding halves wasted
+        # VPU/MXU work on short models vs a coarser ladder)
         groups: dict = {}
         for qi, hmm in enumerate(queries):
             if hmm.alphabet != self.alphabet:
                 raise ValueError("alphabet mismatch between query and engine")
-            Mp = B.round_up(hmm.M, 256)
+            Mp = B.round_up(hmm.M, 128)
             groups.setdefault(Mp, []).append(qi)
 
         states: List[_ChunkState] = []
@@ -402,17 +416,17 @@ class SearchEngine:
 
         ctx: dict = {}
 
-        # -- stage 1 (device): MSV + bias for every chunk x bucket --
+        # -- stage 1 (device): MSV for every chunk x bucket --
         s1_parts = []
         for st in states:
             for bucket in buckets.buckets:
                 dev = bucket[3]
                 dx, ovf = self._msv_dev(st.pb, dev)
-                logsc = self._bias_dev(st.pb, dev)
-                s1_parts.extend([dx, ovf, logsc])
+                s1_parts.extend([dx, ovf])
         s1_np = _fetch_all(s1_parts)
 
-        # -- stage 1 (host): gates, accounting, survivor selection --
+        # -- stage 1 (host): MSV gate, then the exact bias filter on the
+        # survivors only (reference cascade order, p7_pipeline.c) --
         s2_jobs = []
         k1 = 0
         for ci, st in enumerate(states):
@@ -421,8 +435,7 @@ class SearchEngine:
                 Preal = st.Preal
                 dx = s1_np[k1][:Preal].astype(np.float64)
                 ovf = s1_np[k1 + 1][:Preal]
-                logsc = s1_np[k1 + 2][:Preal].astype(np.float64)
-                k1 += 3
+                k1 += 2
 
                 nres = int(lengths.sum())
                 nseq_real = int((lengths > 0).sum())
@@ -436,16 +449,31 @@ class SearchEngine:
                           + np.log(1.0 / (L + 1.0)))          # [B]
                 usc = dx / st.pb.scale_b - 3.0
                 usc[ovf > 0] = np.inf
-                filtersc = logsc + nullsc[None, :]
 
                 P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
                                  st.ev[:, 0:1], st.ev[:, 1:2])
                 pass1 = (P1 <= st.F1) & valid_b[None, :]
-                P1b = gumbel_surv((usc - filtersc) / LOG2,
-                                  st.ev[:, 0:1], st.ev[:, 1:2])
-                pass2 = pass1 & (P1b <= st.F1)
                 for pi, pli in enumerate(st.pipelines):
                     pli.n_past_msv += int(pass1[pi].sum())
+                if not pass1.any():
+                    continue
+                filtersc = np.full_like(usc, np.nan)
+                P1b = np.full_like(usc, np.inf)
+                pass2 = np.zeros_like(pass1)
+                for pi, pli in enumerate(st.pipelines):
+                    cols = np.where(pass1[pi])[0]
+                    if len(cols) == 0:
+                        continue
+                    if pli.bias_filter:
+                        logsc = self._bias_host(st, pi, codes, lengths,
+                                                cols)
+                        filtersc[pi, cols] = logsc + nullsc[cols]
+                    else:
+                        filtersc[pi, cols] = nullsc[cols]
+                    P1b[pi, cols] = gumbel_surv(
+                        (usc[pi, cols] - filtersc[pi, cols]) / LOG2,
+                        st.ev[pi, 0], st.ev[pi, 1])
+                    pass2[pi, cols] = P1b[pi, cols] <= pli.F1
                     pli.n_past_bias += int(pass2[pi].sum())
                 if not pass2.any():
                     continue

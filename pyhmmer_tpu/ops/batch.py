@@ -215,6 +215,8 @@ class SeqDevice:
         codes_tp = np.zeros((self.Lmax, self.Bpad), dtype=np.int32)
         codes_tp[:, : self.B] = codes.T
         self.codes_t = jnp.asarray(codes_tp, jnp.int32)
+        self._codes_tp_host = codes_tp
+        self._strips: dict = {}
         self.lens_d = jnp.asarray(lengths.astype(np.int32))
         self.mask_f = jnp.asarray(mask, jnp.float32)
         self.mask_b = jnp.asarray(mask, bool)
@@ -235,6 +237,24 @@ class SeqDevice:
 
 def _pad8(n):
     return ((n + 7) // 8) * 8
+
+
+def _seqdev_strips(self, R: int):
+    """Strip-packed codes for the Pallas MSV kernel: row s holds sequence
+    rows ``s*R .. s*R+R-1`` concatenated along lanes ``[L/R, R*Bpad]``.
+    Cached per R (R depends on the profile stack's Mp via the VMEM
+    budget)."""
+    d = self._strips.get(R)
+    if d is None:
+        L, Bp = self._codes_tp_host.shape
+        assert L % R == 0, (L, R)
+        d = jnp.asarray(
+            self._codes_tp_host.reshape(L // R, R * Bp), jnp.int32)
+        self._strips[R] = d
+    return d
+
+
+SeqDevice.strips = _seqdev_strips
 
 
 def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray,

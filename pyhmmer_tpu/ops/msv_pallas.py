@@ -34,10 +34,24 @@ NEGMASS = -1e30
 KP_PAD = 32   # Kp=29 padded to an MXU-friendly contraction size
 
 
+def _strip_r(Mp: int, Bt: int) -> int:
+    """Rows per matmul strip: as many as fit a ~4 MB VMEM strip buffer."""
+    r = 8
+    while r > 1 and Mp * r * Bt * 4 > (4 << 20):
+        r //= 2
+    return r
+
+
 def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
-              mpv, xj):
-    """grid (P, nBt): one profile x one lane-tile of sequences."""
-    L, Bt = codes_ref.shape
+              mpv, xj, *, R):
+    """grid (P,): one profile x the full lane-padded bucket.
+
+    ``codes_ref`` is strip-packed ``[L/R, R*Bt]`` (host layout: row s holds
+    sequence rows s*R..s*R+R-1 concatenated along lanes), so the one-hot
+    emission gather runs ONE ``[Mp,KP]x[KP,R*Bt]`` MXU matmul per R rows
+    instead of a skinny latency-bound matmul per row."""
+    nS, RBt = codes_ref.shape
+    Bt = RBt // R
     Mp = cost_ref.shape[1]
     p = pl.program_id(0)
     bias = scal_ref[p, 0]
@@ -45,63 +59,68 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
     tbm = scal_ref[p, 2]
     base = jnp.float32(190.0)
 
-    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, Bt), 0)
+    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, RBt), 0)
     # row 0 of the rolled carry is wrap garbage; first_row masks it to the
     # diagonal-entry value
     first_row = (jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0) == 0)
+    cost_bf16 = cost_ref[0].astype(jnp.bfloat16)
 
     mpv[...] = jnp.zeros((Mp, Bt), jnp.float32)
     xj[...] = jnp.zeros((1, Bt), jnp.float32)
     tjb = tjb_ref[0:1, :]                                    # [1, Bt]
     xb0 = jnp.maximum(base - tjb, 0.0)
 
-    def row(i, xb):
-        codes_row = codes_ref[pl.ds(i, 1), :]                # [1, Bt]
-        onehot = (kcode == codes_row).astype(jnp.float32)    # [KP, Bt]
-        cost = jax.lax.dot_general(
-            cost_ref[0], onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Mp, Bt]
-        xbv = jnp.maximum(xb - tbm, 0.0)                     # [1, Bt]
-        rolled = pltpu.roll(mpv[...], 1, 0)
-        sv = jnp.maximum(jnp.where(first_row, xbv, rolled), xbv)
-        sv = jnp.minimum(sv + bias, 255.0)                   # saturating add
-        sv = jnp.maximum(sv - cost, 0.0)                     # saturating sub
-        xe = jnp.max(sv, axis=0, keepdims=True)              # [1, Bt]
-        xj[...] = jnp.maximum(xj[...], xe - tec)
-        mpv[...] = sv
-        return jnp.maximum(base, xj[...]) - tjb
+    def strip(s, xb):
+        codes_row = codes_ref[pl.ds(s, 1), :]                # [1, R*Bt]
+        onehot = (kcode == codes_row).astype(jnp.bfloat16)   # [KP, R*Bt]
+        # integer-valued bf16 inputs (<256) make the f32 accumulation exact
+        cost_all = jax.lax.dot_general(
+            cost_bf16, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Mp, R*Bt]
+        for r in range(R):
+            cost = cost_all[:, r * Bt: (r + 1) * Bt]         # [Mp, Bt]
+            xbv = jnp.maximum(xb - tbm, 0.0)                 # [1, Bt]
+            rolled = pltpu.roll(mpv[...], 1, 0)
+            sv = jnp.maximum(jnp.where(first_row, xbv, rolled), xbv)
+            sv = jnp.minimum(sv + bias, 255.0)               # saturating add
+            sv = jnp.maximum(sv - cost, 0.0)                 # saturating sub
+            xe = jnp.max(sv, axis=0, keepdims=True)          # [1, Bt]
+            xj[...] = jnp.maximum(xj[...], xe - tec)
+            mpv[...] = sv
+            xb = jnp.maximum(base, xj[...]) - tjb
+        return xb
 
-    jax.lax.fori_loop(0, L, row, xb0)
+    jax.lax.fori_loop(0, nS, strip, xb0)
     out_ref[...] = (xj[...] - base)[None]
     ovf_ref[...] = (xj[...] >= 255.0 - bias - tec).astype(jnp.float32)[None]
 
 
-@partial(jax.jit, static_argnames=())
-def _msv_pallas(codes_t, cost, tjb, scal):
-    """codes_t [L, B] int32 (nonresidue-padded); cost [P, Mp, KP_PAD] f32
-    quantized biased costs (255 in padding); tjb [1, B] f32;
-    scal [P, 4] f32 (bias, tec, tbm, -).
+@partial(jax.jit, static_argnames=("R",))
+def _msv_pallas(codes_strips, cost, tjb, scal, R):
+    """codes_strips [L/R, R*B] int32 strip-packed (nonresidue-padded);
+    cost [P, Mp, KP_PAD] f32 quantized biased costs (255 in padding);
+    tjb [1, B] f32; scal [P, 4] f32 (bias, tec, tbm, -).
     Returns (xJ - base) [P, B] f32 and overflow flags [P, B] f32."""
     P, Mp, _ = cost.shape
-    L, B = codes_t.shape
-    Bt = min(B, 512)
-    grid = (P, B // Bt)
+    nS, RB = codes_strips.shape
+    B = RB // R
+    grid = (P,)
     out, ovf = pl.pallas_call(
-        _msv_body,
+        partial(_msv_body, R=R),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, Bt), lambda p, b: (0, b),
+            pl.BlockSpec((nS, RB), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt), lambda p, b: (0, b),
+            pl.BlockSpec((1, B), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [P, 4], full
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
+            pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
+            pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -109,10 +128,10 @@ def _msv_pallas(codes_t, cost, tjb, scal):
             jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Mp, Bt), jnp.float32),
-            pltpu.VMEM((1, Bt), jnp.float32),
+            pltpu.VMEM((Mp, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
         ],
-    )(codes_t, cost, tjb, scal)
+    )(codes_strips, cost, tjb, scal)
     return out[:, 0, :], ovf[:, 0, :]
 
 
@@ -140,7 +159,9 @@ def msv_scores_pallas(pb, codes: np.ndarray, lengths: np.ndarray,
     if dev is None:
         dev = _batch.SeqDevice(codes, lengths)
     t = build_msv_tensors(pb)
-    dx, ovf = _msv_pallas(dev.codes_t, t["cost"], dev.tjb_row, t["scal"])
+    R = _strip_r(t["cost"].shape[1], dev.Bpad)
+    dx, ovf = _msv_pallas(dev.strips(R), t["cost"], dev.tjb_row,
+                          t["scal"], R)
     usc = np.asarray(dx, np.float64)[:, :B] / pb.scale_b - 3.0
     usc[np.asarray(ovf)[:, :B] > 0] = np.inf
     return usc

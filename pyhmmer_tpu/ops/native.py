@@ -114,6 +114,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I64PP, ctypes.c_int64,             # tr_off, max_tr
     ]
     lib.hmmdp_domaindef.restype = ctypes.c_int32
+    lib.hmmdp_bias_filter.argtypes = [_U8, _I32, _D]
+    lib.hmmdp_bias_filter.restype = ctypes.c_double
+    lib.hmmdp_bias_filter_batch.argtypes = [
+        _U8, _I64PP, _I32, _I32, _D, _D]
+    lib.hmmdp_bias_filter_batch.restype = None
     _lib = lib
     return _lib
 
@@ -376,6 +381,24 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
         nenvelopes=int(out_scalars[5]),
         n2sc=n2sc)
     return float(out_scalars[0]), res
+
+
+def bias_filter_batch(odds1: np.ndarray, codes: np.ndarray,
+                      lens: np.ndarray) -> Optional[np.ndarray]:
+    """Native 2-state bias-filter log-odds scores (no null1 term) for a
+    set of sequences against one profile's odds table.  ``odds1`` [Kp]
+    f64; ``codes`` [N, Lmax] uint8 row-major; ``lens`` [N].  Returns
+    logsc [N] f64, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    odds1 = np.ascontiguousarray(odds1, dtype=np.float64)
+    N, Lmax = codes.shape
+    out = np.empty(N, dtype=np.float64)
+    lib.hmmdp_bias_filter_batch(codes, lens64, N, Lmax, odds1, out)
+    return out
 
 
 def available() -> bool:

@@ -73,6 +73,28 @@ class Background:
         residue composition (``p7_bg_SetFilter``)."""
         self._filter_M = M
         self._filter_compo = np.asarray(compo, dtype=np.float64)
+        self._filter_odds = None
+
+    def filter_odds_table(self) -> Optional[np.ndarray]:
+        """State-1 emission odds over the full code space [Kp] (cached);
+        None when no filter model is configured."""
+        if self._filter_compo is None:
+            return None
+        if getattr(self, "_filter_odds", None) is None:
+            f = self.residue_frequencies
+            Kp = self.alphabet.Kp
+            K = self.alphabet.K
+            e1 = np.ones(Kp)
+            compo = 0.5 * self._filter_compo + 0.5 * f
+            odds1 = compo / f
+            e1[:K] = odds1
+            for code in range(K + 1, Kp - 2):
+                members = self.alphabet.degen[code]
+                w = f[members]
+                e1[code] = (odds1[members] * w).sum() / w.sum()
+            e1[K] = e1[Kp - 2] = e1[Kp - 1] = 1.0
+            self._filter_odds = e1
+        return self._filter_odds
 
     def filter_score(self, dsq: np.ndarray) -> float:
         """Score a digital sequence against the bias filter model, in nats
@@ -87,32 +109,25 @@ class Background:
         L = len(dsq)
         if self._filter_compo is None:
             return self.null_one(L)
-        M = self._filter_M
-        f = self.residue_frequencies
-        # odds-ratio emissions per state, extended over the full code space
-        Kp = self.alphabet.Kp
-        e0 = np.ones(Kp)
-        e1 = np.ones(Kp)
-        K = self.alphabet.K
-        # 50/50 smoothing of the model composition with the background
-        compo = 0.5 * self._filter_compo + 0.5 * f
-        odds1 = compo / f
-        e1[:K] = odds1
-        # degenerate codes: expected odds under background weighting
-        for code in range(K + 1, Kp - 2):
-            members = self.alphabet.degen[code]
-            w = f[members]
-            e1[code] = (odds1[members] * w).sum() / w.sum()
-        # gap / nonresidue / missing emit odds 1 in both states (neutral)
-        e1[K] = e1[Kp - 2] = e1[Kp - 1] = 1.0
+        e1 = self.filter_odds_table()
+        e0 = np.ones_like(e1)
 
+        p1 = float(L) / float(L + 1)
+        from ..ops import native as _native
+        if _native.available():
+            dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+            lib = _native.get_lib()
+            logsc = lib.hmmdp_bias_filter(
+                dsq8, L, np.ascontiguousarray(e1))
+            return logsc + L * np.log(p1) + np.log(1.0 - p1)
+
+        # pure-Python fallback (identical math).
         # state-0 loop tracks the null1 length model (p7_bg_SetLength updates
         # fhmm->t[0] alongside p1).  State-1 dwell length and emission
         # sharpness are calibrated against the reference golden tables
         # (see tests/test_golden.py): long dwells accumulate spurious gains
         # on mildly model-like sequences and would reject hits the
         # reference reports, so the dwell is kept short.
-        p1 = float(L) / float(L + 1)
         t00 = p1
         t01 = 1.0 - p1
         mean1 = 10.0
