@@ -26,18 +26,20 @@ inline double xlog(double a, double sc) {
     return a > 0.0 ? std::log(a) + sc : NEGMASS;
 }
 
-struct ExpProf {
+// Length-independent odds tables for one profile.  Building these costs
+// ~10k exp() calls; a handle is exposed through the C ABI so Python can
+// build them ONCE per profile (ops/native.py prewarm) instead of paying
+// per domaindef/forward call.
+struct ExpCore {
     double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
     double *ems, *eis;          // [Kp * (M+1)] odds
-    double eE[2], eN[2], eJ[2], eC[2];
     int M, Kp;
 
-    ExpProf(const double* tBM, const double* tMM, const double* tIM,
+    ExpCore(const double* tBM, const double* tMM, const double* tIM,
             const double* tDM, const double* tMD, const double* tDD,
             const double* tMI, const double* tII,
             const double* msc, const double* isc,
-            const double* xE, const double* xN, const double* xJ,
-            const double* xC, int M_, int Kp_) : M(M_), Kp(Kp_) {
+            int M_, int Kp_) : M(M_), Kp(Kp_) {
         int W = M + 1;
         eBM = new double[M]; eMM = new double[M]; eIM = new double[M];
         eDM = new double[M]; eMD = new double[M]; eDD = new double[M];
@@ -52,41 +54,199 @@ struct ExpProf {
         for (size_t i = 0; i < (size_t)Kp * W; i++) {
             ems[i] = xexp(msc[i]); eis[i] = xexp(isc[i]);
         }
-        for (int j = 0; j < 2; j++) {
-            eE[j] = xexp(xE[j]); eN[j] = xexp(xN[j]);
-            eJ[j] = xexp(xJ[j]); eC[j] = xexp(xC[j]);
-        }
     }
-    ~ExpProf() {
+    ~ExpCore() {
         delete[] eBM; delete[] eMM; delete[] eIM; delete[] eDM;
         delete[] eMD; delete[] eDD; delete[] eMI; delete[] eII;
         delete[] ems; delete[] eis;
     }
 };
 
+struct ExpProf {
+    const double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
+    const double *ems, *eis;    // borrowed from core (owned or cached)
+    double eE[2], eN[2], eJ[2], eC[2];
+    int M, Kp;
+    ExpCore* owned = nullptr;
+
+    ExpProf(const double* tBM, const double* tMM, const double* tIM,
+            const double* tDM, const double* tMD, const double* tDD,
+            const double* tMI, const double* tII,
+            const double* msc, const double* isc,
+            const double* xE, const double* xN, const double* xJ,
+            const double* xC, int M_, int Kp_,
+            const ExpCore* core = nullptr) : M(M_), Kp(Kp_) {
+        if (core == nullptr) {
+            owned = new ExpCore(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
+                                msc, isc, M_, Kp_);
+            core = owned;
+        }
+        eBM = core->eBM; eMM = core->eMM; eIM = core->eIM;
+        eDM = core->eDM; eMD = core->eMD; eDD = core->eDD;
+        eMI = core->eMI; eII = core->eII;
+        ems = core->ems; eis = core->eis;
+        for (int j = 0; j < 2; j++) {
+            eE[j] = xexp(xE[j]); eN[j] = xexp(xN[j]);
+            eJ[j] = xexp(xJ[j]); eC[j] = xexp(xC[j]);
+        }
+    }
+    ~ExpProf() { delete owned; }
+};
+
+// Chunked thread-local bump allocator for the DP scratch: repeated
+// MB-sized new/delete churns mmap'd pages (fresh page faults every call
+// on glibc), which dominated domaindef wall time.  Chunks never move, so
+// pointers stay valid until release(mark).
+struct Arena {
+    struct Chunk { double* p; size_t cap; };
+    static constexpr size_t MIN_CHUNK = 1 << 18;     // doubles (2 MB)
+    Chunk* chunks = nullptr;
+    int nchunks = 0, capchunks = 0;
+    int ci = 0;
+    size_t used = 0;
+
+    struct Mark { int ci; size_t used; };
+    Mark mark() const { return {ci, used}; }
+    void release(Mark m) { ci = m.ci; used = m.used; }
+
+    double* alloc(size_t n) {
+        while (true) {
+            if (ci < nchunks && used + n <= chunks[ci].cap) {
+                double* p = chunks[ci].p + used;
+                used += n;
+                return p;
+            }
+            if (ci + 1 < nchunks) { ci++; used = 0; continue; }
+            if (nchunks == capchunks) {
+                int nc = capchunks ? capchunks * 2 : 8;
+                Chunk* nb = new Chunk[nc];
+                for (int i = 0; i < nchunks; i++) nb[i] = chunks[i];
+                delete[] chunks;
+                chunks = nb; capchunks = nc;
+            }
+            size_t cap = std::max(MIN_CHUNK, n);
+            chunks[nchunks].p = new double[cap];
+            chunks[nchunks].cap = cap;
+            if (nchunks > 0) { ci = nchunks; used = 0; }
+            nchunks++;
+        }
+    }
+    double* zalloc(size_t n) {
+        double* p = alloc(n);
+        std::memset(p, 0, n * sizeof(double));
+        return p;
+    }
+};
+
+thread_local Arena g_arena;
+
 }  // namespace
 
-extern "C" {
+namespace {
 
-double hmmdp_forward(
-    const uint8_t* dsq, int32_t L,
-    const double* tBM, const double* tMM, const double* tIM,
-    const double* tDM, const double* tMD, const double* tDD,
-    const double* tMI, const double* tII,
-    const double* msc, const double* isc,
-    const double* xE, const double* xN, const double* xJ, const double* xC,
-    int32_t M, int32_t Kp,
+
+// Per-row Forward/Backward kernels extracted into noinline functions so
+// the __restrict__ guarantees survive the row-buffer pointer swaps at the
+// call site (gcc refuses to vectorize loops whose restrict pointers are
+// std::swap'd in the enclosing scope).
+__attribute__((noinline))
+static double fwd_row_core(
+    int M,
+    const double* __restrict__ ms, const double* __restrict__ is,
+    const double* __restrict__ eMM, const double* __restrict__ eIM,
+    const double* __restrict__ eDM, const double* __restrict__ eBM,
+    const double* __restrict__ eMI, const double* __restrict__ eII,
+    const double* __restrict__ eMD, const double* __restrict__ eDD,
+    const double* __restrict__ mrow, const double* __restrict__ irow,
+    const double* __restrict__ drow, double bprev,
+    double* __restrict__ nm, double* __restrict__ ni,
+    double* __restrict__ nd) {
+    nm[0] = 0.0; ni[0] = 0.0; nd[0] = 0.0;
+    for (int k = 1; k <= M; k++) {
+        nm[k] = ms[k] * (mrow[k - 1] * eMM[k - 1]
+                         + irow[k - 1] * eIM[k - 1]
+                         + drow[k - 1] * eDM[k - 1]
+                         + bprev * eBM[k - 1]);
+    }
+    for (int k = 1; k < M; k++)
+        ni[k] = is[k] * (mrow[k] * eMI[k] + irow[k] * eII[k]);
+    for (int k = std::max(M, 1); k <= M; k++) ni[k] = 0.0;
+    if (M >= 1) nd[1] = 0.0;
+    for (int k = 2; k <= M; k++)
+        nd[k] = nm[k - 1] * eMD[k - 1] + nd[k - 1] * eDD[k - 1];
+    double e = 0.0;
+    for (int k = 1; k <= M; k++) e += nm[k];
+    for (int k = 1; k <= M; k++) e += nd[k];
+    return e;
+}
+
+__attribute__((noinline))
+static double bck_b_core(
+    int M, const double* __restrict__ ms,
+    const double* __restrict__ eBM, const double* __restrict__ mrow) {
+    double b = 0.0;
+    for (int k = 1; k <= M; k++)
+        b += mrow[k] * eBM[k - 1] * ms[k];
+    return b;
+}
+
+__attribute__((noinline))
+static void bck_row_core(
+    int M,
+    const double* __restrict__ ms, const double* __restrict__ is,
+    const double* __restrict__ eMM, const double* __restrict__ eIM,
+    const double* __restrict__ eDM,
+    const double* __restrict__ eMI, const double* __restrict__ eII,
+    const double* __restrict__ eMD, const double* __restrict__ eDD,
+    const double* __restrict__ mrow, const double* __restrict__ irow,
+    double e_,
+    double* __restrict__ nm, double* __restrict__ ni,
+    double* __restrict__ nd) {
+    ni[0] = 0.0;
+    for (int k = 1; k < M; k++)
+        ni[k] = mrow[k + 1] * eIM[k] * ms[k + 1]
+                + irow[k] * eII[k] * is[k];
+    for (int k = std::max(M, 1); k <= M; k++) ni[k] = 0.0;
+    nd[0] = 0.0;
+    if (M >= 1) nd[M] = e_;
+    for (int k = M - 1; k >= 1; k--)
+        nd[k] = e_ + mrow[k + 1] * eDM[k] * ms[k + 1]
+                + nd[k + 1] * eDD[k];
+    nm[0] = 0.0;
+    for (int k = 1; k <= M; k++) nm[k] = e_;
+    for (int k = 1; k < M; k++)
+        nm[k] += mrow[k + 1] * eMM[k] * ms[k + 1]
+                 + irow[k] * eMI[k] * is[k]
+                 + nd[k + 1] * eMD[k];
+}
+
+__attribute__((noinline))
+static void scale_store_row(
+    int W, double inv,
+    double* __restrict__ mrow, double* __restrict__ irow,
+    double* __restrict__ drow,
+    double* __restrict__ Mo, double* __restrict__ Io,
+    double* __restrict__ Do) {
+    Mo[0] = Io[0] = Do[0] = 0.0;
+    for (int k = 1; k < W; k++) {
+        mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+        Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
+    }
+}
+
+double fwd_impl(
+    const ExpProf& P, const uint8_t* dsq, int32_t L,
+    const double* xN, int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
     double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
-    ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
-              xE, xN, xJ, xC, M, Kp);
     const int W = M + 1;
-    double* mrow = new double[W]();
-    double* irow = new double[W]();
-    double* drow = new double[W]();
-    double* nm = new double[W]();
-    double* ni = new double[W]();
-    double* nd = new double[W]();
+    Arena::Mark amark = g_arena.mark();
+    double* __restrict__ mrow = g_arena.zalloc(W);
+    double* __restrict__ irow = g_arena.zalloc(W);
+    double* __restrict__ drow = g_arena.zalloc(W);
+    double* __restrict__ nm = g_arena.zalloc(W);
+    double* __restrict__ ni = g_arena.zalloc(W);
+    double* __restrict__ nd = g_arena.zalloc(W);
 
     // N is a pure product chain (never receives summed mass in Forward),
     // so it is tracked in log space to stay exact across rescales
@@ -104,23 +264,9 @@ double hmmdp_forward(
     for (int i = 1; i <= L; i++) {
         const double* ms = P.ems + (size_t)dsq[i - 1] * W;
         const double* is = P.eis + (size_t)dsq[i - 1] * W;
-        nm[0] = 0.0; ni[0] = 0.0; nd[0] = 0.0;
-        double bprev = b_;
-        for (int k = 1; k <= M; k++) {
-            nm[k] = ms[k] * (mrow[k - 1] * P.eMM[k - 1]
-                             + irow[k - 1] * P.eIM[k - 1]
-                             + drow[k - 1] * P.eDM[k - 1]
-                             + bprev * P.eBM[k - 1]);
-        }
-        for (int k = 1; k < M; k++)
-            ni[k] = is[k] * (mrow[k] * P.eMI[k] + irow[k] * P.eII[k]);
-        for (int k = std::max(M, 1); k < W; k++) ni[k] = 0.0;
-        if (M >= 1) nd[1] = 0.0;
-        for (int k = 2; k <= M; k++)
-            nd[k] = nm[k - 1] * P.eMD[k - 1] + nd[k - 1] * P.eDD[k - 1];
-        double e = 0.0;
-        for (int k = 1; k <= M; k++) e += nm[k];
-        for (int k = 1; k <= M; k++) e += nd[k];
+        double e = fwd_row_core(M, ms, is, P.eMM, P.eIM, P.eDM, P.eBM,
+                                P.eMI, P.eII, P.eMD, P.eDD,
+                                mrow, irow, drow, b_, nm, ni, nd);
         j_ = j_ * P.eJ[0] + e * P.eE[0];
         c_ = c_ * P.eC[0] + e * P.eE[1];
         logN += xN[0];
@@ -151,18 +297,11 @@ double hmmdp_forward(
             for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
             mx = std::max(mx, std::max(j_, c_));
             double inv = 1.0 / mx;
-            for (int k = 0; k < W; k++) {
-                mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
-            }
+            scale_store_row(W, inv, mrow, irow, drow,
+                            Mm + (size_t)i * W, Im + (size_t)i * W,
+                            Dm + (size_t)i * W);
             b_ *= inv; j_ *= inv; c_ *= inv;
             logscale += std::log(mx);
-            double* Mo = Mm + (size_t)i * W;
-            double* Io = Im + (size_t)i * W;
-            double* Do = Dm + (size_t)i * W;
-            Mo[0] = Io[0] = Do[0] = 0.0;
-            for (int k = 1; k < W; k++) {
-                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
-            }
             rowscale[i] = logscale;
         } else if (e > RESCALE_HI || (e > 0 && e < 1.0 / RESCALE_HI)) {
             double s = e;
@@ -174,31 +313,24 @@ double hmmdp_forward(
             logscale += std::log(s);
         }
     }
-    double score = xCv[L] + xC[1];
-    delete[] mrow; delete[] irow; delete[] drow;
-    delete[] nm; delete[] ni; delete[] nd;
+    double score = xCv[L] + (P.eC[1] > 0.0 ? std::log(P.eC[1]) : NEGMASS);
+    g_arena.release(amark);
     return score;
 }
 
-double hmmdp_backward(
-    const uint8_t* dsq, int32_t L,
-    const double* tBM, const double* tMM, const double* tIM,
-    const double* tDM, const double* tMD, const double* tDD,
-    const double* tMI, const double* tII,
-    const double* msc, const double* isc,
-    const double* xE, const double* xN, const double* xJ, const double* xC,
+double bck_impl(
+    const ExpProf& P, const uint8_t* dsq, int32_t L,
     int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
     double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
-    ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
-              xE, xN, xJ, xC, M, Kp);
     const int W = M + 1;
-    double* mrow = new double[W]();
-    double* irow = new double[W]();
-    double* drow = new double[W]();
-    double* nm = new double[W]();
-    double* ni = new double[W]();
-    double* nd = new double[W]();
+    Arena::Mark amark = g_arena.mark();
+    double* __restrict__ mrow = g_arena.zalloc(W);
+    double* __restrict__ irow = g_arena.zalloc(W);
+    double* __restrict__ drow = g_arena.zalloc(W);
+    double* __restrict__ nm = g_arena.zalloc(W);
+    double* __restrict__ ni = g_arena.zalloc(W);
+    double* __restrict__ nd = g_arena.zalloc(W);
 
     double logscale = 0.0;
     double c_ = P.eC[1];
@@ -240,9 +372,7 @@ double hmmdp_backward(
     for (int i = L - 1; i >= 0; i--) {
         const double* ms = P.ems + (size_t)dsq[i] * W;
         const double* is = P.eis + (size_t)dsq[i] * W;
-        double b = 0.0;
-        for (int k = 1; k <= M; k++)
-            b += mrow[k] * P.eBM[k - 1] * ms[k];
+        double b = bck_b_core(M, ms, P.eBM, mrow);
         b_ = b;
         j_ = j_ * P.eJ[0] + b * P.eJ[1];
         c_ = c_ * P.eC[0];
@@ -254,22 +384,9 @@ double hmmdp_backward(
         xNv[i] = xlog(n_, logscale);
         xEv[i] = xlog(e_, logscale);
 
-        ni[0] = 0.0;
-        for (int k = 1; k < M; k++)
-            ni[k] = mrow[k + 1] * P.eIM[k] * ms[k + 1]
-                    + irow[k] * P.eII[k] * is[k];
-        for (int k = std::max(M, 1); k < W; k++) ni[k] = 0.0;
-        nd[0] = 0.0;
-        if (M >= 1) nd[M] = e_;
-        for (int k = M - 1; k >= 1; k--)
-            nd[k] = e_ + mrow[k + 1] * P.eDM[k] * ms[k + 1]
-                    + nd[k + 1] * P.eDD[k];
-        nm[0] = 0.0;
-        for (int k = 1; k <= M; k++) nm[k] = e_;
-        for (int k = 1; k < M; k++)
-            nm[k] += mrow[k + 1] * P.eMM[k] * ms[k + 1]
-                     + irow[k] * P.eMI[k] * is[k]
-                     + nd[k + 1] * P.eMD[k];
+        bck_row_core(M, ms, is, P.eMM, P.eIM, P.eDM,
+                     P.eMI, P.eII, P.eMD, P.eDD,
+                     mrow, irow, e_, nm, ni, nd);
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
         if (keep == 1) {
             double* Mo = Mm + (size_t)i * W;
@@ -286,18 +403,17 @@ double hmmdp_backward(
             double mx = TINY;
             for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
             double inv = 1.0 / mx;
-            for (int k = 0; k < W; k++) {
+            double* __restrict__ Mo = Mm + (size_t)i * W;
+            double* __restrict__ Io = Im + (size_t)i * W;
+            double* __restrict__ Do = Dm + (size_t)i * W;
+            Mo[0] = Io[0] = Do[0] = 0.0;
+#pragma GCC ivdep
+            for (int k = 1; k < W; k++) {
                 mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
             }
             n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
             logscale += std::log(mx);
-            double* Mo = Mm + (size_t)i * W;
-            double* Io = Im + (size_t)i * W;
-            double* Do = Dm + (size_t)i * W;
-            Mo[0] = Io[0] = Do[0] = 0.0;
-            for (int k = 1; k < W; k++) {
-                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
-            }
             rowscale[i] = logscale;
         } else {
             double mx = 0.0;
@@ -313,9 +429,59 @@ double hmmdp_backward(
         }
     }
     double score = xNv[0];
-    delete[] mrow; delete[] irow; delete[] drow;
-    delete[] nm; delete[] ni; delete[] nd;
+    g_arena.release(amark);
     return score;
+}
+
+}  // namespace
+
+extern "C" {
+
+double hmmdp_forward(
+    const uint8_t* dsq, int32_t L,
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc,
+    const double* xE, const double* xN, const double* xJ, const double* xC,
+    int32_t M, int32_t Kp,
+    double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
+    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
+    ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+              xE, xN, xJ, xC, M, Kp);
+    return fwd_impl(P, dsq, L, xN, M, Kp, xNv, xBv, xEv, xCv, xJv,
+                    Mm, Im, Dm, keep, rowscale);
+}
+
+double hmmdp_backward(
+    const uint8_t* dsq, int32_t L,
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc,
+    const double* xE, const double* xN, const double* xJ, const double* xC,
+    int32_t M, int32_t Kp,
+    double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
+    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
+    ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+              xE, xN, xJ, xC, M, Kp);
+    return bck_impl(P, dsq, L, M, Kp, xNv, xBv, xEv, xCv, xJv,
+                    Mm, Im, Dm, keep, rowscale);
+}
+
+// Build / free a cached ExpCore (length-independent odds tables) for one
+// profile.  Python keeps the handle alive for the profile's lifetime.
+void* hmmdp_core_new(
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc, int32_t M, int32_t Kp) {
+    return new ExpCore(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
+                       msc, isc, M, Kp);
+}
+
+void hmmdp_core_free(void* core) {
+    delete reinterpret_cast<ExpCore*>(core);
 }
 
 // Optimal accuracy DP (gated max-plus on posteriors; stays in log space --
@@ -344,13 +510,16 @@ double hmmdp_optacc(
         const double* pm = ppM + (size_t)i * W;
         const double* pi = ppI + (size_t)i * W;
         mc[0] = ic[0] = dc[0] = NEGMASS;
+        const double xbm1 = xB[i - 1];
+#pragma GCC ivdep
         for (int k = 1; k <= M; k++) {
             double v = std::max(std::max(mp[k - 1] + gMM[k - 1],
                                          ip[k - 1] + gIM[k - 1]),
                                 std::max(dp[k - 1] + gDM[k - 1],
-                                         xB[i - 1] + gBM[k - 1]));
+                                         xbm1 + gBM[k - 1]));
             mc[k] = pm[k] + v;
         }
+#pragma GCC ivdep
         for (int k = 1; k < M; k++)
             ic[k] = pi[k] + std::max(mp[k] + gMI[k], ip[k] + gII[k]);
         for (int k = std::max(M, 1); k < W; k++) ic[k] = NEGMASS;
@@ -829,44 +998,53 @@ int32_t hmmdp_domaindef(
     int32_t max_dom,
     int8_t* tr_st, int32_t* tr_k, int32_t* tr_i, double* tr_pp,
     int64_t* tr_off,                             // [max_dom + 1]
-    int64_t max_tr) {
+    int64_t max_tr,
+    const void* core_handle) {                   // cached ExpCore or NULL
 
     const int W = M + 1;
     Specials sm; sm.config(L, true);    // multihit, full-length model
     Specials su; su.config(L, false);   // unihit, full-length model
+    const ExpCore* core = reinterpret_cast<const ExpCore*>(core_handle);
+    ExpCore* local_core = nullptr;
+    if (core == nullptr) {
+        local_core = new ExpCore(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
+                                 msc, isc, M, Kp);
+        core = local_core;
+    }
+    ExpProf Pm(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+               sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp, core);
+    ExpProf Pu(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+               su.xE, su.xN, su.xJ, su.xC, M, Kp, core);
 
+    Arena::Mark call_mark = g_arena.mark();
     // ---- full-sequence multihit Forward/Backward parsers ----
-    double* fxN = new double[L + 1]; double* fxB = new double[L + 1];
-    double* fxE = new double[L + 1]; double* fxC = new double[L + 1];
-    double* fxJ = new double[L + 1];
-    double* bxN = new double[L + 1]; double* bxB = new double[L + 1];
-    double* bxE = new double[L + 1]; double* bxC = new double[L + 1];
-    double* bxJ = new double[L + 1];
+    double* fxN = g_arena.alloc(L + 1); double* fxB = g_arena.alloc(L + 1);
+    double* fxE = g_arena.alloc(L + 1); double* fxC = g_arena.alloc(L + 1);
+    double* fxJ = g_arena.alloc(L + 1);
+    double* bxN = g_arena.alloc(L + 1); double* bxB = g_arena.alloc(L + 1);
+    double* bxE = g_arena.alloc(L + 1); double* bxC = g_arena.alloc(L + 1);
+    double* bxJ = g_arena.alloc(L + 1);
     double dummy[1];
-    double fwdsc = hmmdp_forward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
-                                 tMI, tII, msc, isc,
-                                 sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
-                                 fxN, fxB, fxE, fxC, fxJ,
-                                 dummy, dummy, dummy, 0, dummy);
+    double fwdsc = fwd_impl(Pm, dsq, L, sm.xN, M, Kp,
+                            fxN, fxB, fxE, fxC, fxJ,
+                            dummy, dummy, dummy, 0, dummy);
     if (fwdsc < fwd_min) {
         // exact-score gate miss: the caller's F3 re-check would drop this
         // target anyway, so skip Backward/decode/rescoring entirely
         out_scalars[0] = fwdsc;
         out_scalars[1] = 0.0; out_scalars[2] = 0.0; out_scalars[3] = 0.0;
         out_scalars[4] = 0.0; out_scalars[5] = 0.0;
-        delete[] fxN; delete[] fxB; delete[] fxE; delete[] fxC; delete[] fxJ;
-        delete[] bxN; delete[] bxB; delete[] bxE; delete[] bxC; delete[] bxJ;
+        g_arena.release(call_mark);
+        delete local_core;
         return 0;
     }
-    hmmdp_backward(dsq, L, tBM, tMM, tIM, tDM, tMD, tDD,
-                   tMI, tII, msc, isc,
-                   sm.xE, sm.xN, sm.xJ, sm.xC, M, Kp,
-                   bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0, dummy);
+    bck_impl(Pm, dsq, L, M, Kp,
+             bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0, dummy);
 
     // ---- decode_specials: btot / etot / mocc ----
-    double* btot = new double[L + 1];
-    double* etot = new double[L + 1];
-    double* mocc = new double[L + 1];
+    double* btot = g_arena.alloc(L + 1);
+    double* etot = g_arena.alloc(L + 1);
+    double* mocc = g_arena.alloc(L + 1);
     btot[0] = etot[0] = mocc[0] = 0.0;
     for (int i = 1; i <= L; i++) {
         btot[i] = btot[i - 1] + std::exp(fxB[i - 1] + bxB[i - 1] - fwdsc);
@@ -891,46 +1069,54 @@ int32_t hmmdp_domaindef(
         const int Ld = b - a + 1;
         const uint8_t* win = dsq + (a - 1);
         const size_t rows = (size_t)(Ld + 1) * W;
-        double* fM = new double[rows]; double* fI = new double[rows];
-        double* fD = new double[rows];
-        double* bM = new double[rows]; double* bI = new double[rows];
-        double* bD = new double[rows];
-        double* wfxN = new double[Ld + 1]; double* wfxB = new double[Ld + 1];
-        double* wfxE = new double[Ld + 1]; double* wfxC = new double[Ld + 1];
-        double* wfxJ = new double[Ld + 1];
-        double* wbxN = new double[Ld + 1]; double* wbxB = new double[Ld + 1];
-        double* wbxE = new double[Ld + 1]; double* wbxC = new double[Ld + 1];
-        double* wbxJ = new double[Ld + 1];
-        double* fsc_row = new double[Ld + 1];
-        double* bsc_row = new double[Ld + 1];
-        double envsc = hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
-                                     tMI, tII, msc, isc,
-                                     su.xE, su.xN, su.xJ, su.xC, M, Kp,
-                                     wfxN, wfxB, wfxE, wfxC, wfxJ,
-                                     fM, fI, fD, 2, fsc_row);
-        hmmdp_backward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
-                       tMI, tII, msc, isc,
-                       su.xE, su.xN, su.xJ, su.xC, M, Kp,
-                       wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 2, bsc_row);
+        Arena::Mark rmark = g_arena.mark();
+        double* fM = g_arena.alloc(rows); double* fI = g_arena.alloc(rows);
+        double* fD = g_arena.alloc(rows);
+        double* bM = g_arena.alloc(rows); double* bI = g_arena.alloc(rows);
+        double* bD = g_arena.alloc(rows);
+        double* wfxN = g_arena.alloc(Ld + 1);
+        double* wfxB = g_arena.alloc(Ld + 1);
+        double* wfxE = g_arena.alloc(Ld + 1);
+        double* wfxC = g_arena.alloc(Ld + 1);
+        double* wfxJ = g_arena.alloc(Ld + 1);
+        double* wbxN = g_arena.alloc(Ld + 1);
+        double* wbxB = g_arena.alloc(Ld + 1);
+        double* wbxE = g_arena.alloc(Ld + 1);
+        double* wbxC = g_arena.alloc(Ld + 1);
+        double* wbxJ = g_arena.alloc(Ld + 1);
+        double* fsc_row = g_arena.alloc(Ld + 1);
+        double* bsc_row = g_arena.alloc(Ld + 1);
+        double envsc = fwd_impl(Pu, win, Ld, su.xN, M, Kp,
+                                wfxN, wfxB, wfxE, wfxC, wfxJ,
+                                fM, fI, fD, 2, fsc_row);
+        bck_impl(Pu, win, Ld, M, Kp,
+                 wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 2, bsc_row);
 
         // posterior decode: matrices are raw odds with per-row log scales
         // (keep==2), so the per-cell work is one multiply -- the exp is
         // per-row.  Row factors are clamped so pathological rows cannot
         // produce inf * 0.
-        double* ppM = new double[rows]; double* ppI = new double[rows];
-        double* ppN = new double[Ld + 1]; double* ppJ = new double[Ld + 1];
-        double* ppC = new double[Ld + 1];
+        double* ppM = g_arena.alloc(rows); double* ppI = g_arena.alloc(rows);
+        double* ppN = g_arena.alloc(Ld + 1);
+        double* ppJ = g_arena.alloc(Ld + 1);
+        double* ppC = g_arena.alloc(Ld + 1);
         for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0; ppI[kk] = 0.0; }
         for (int i2 = 1; i2 <= Ld; i2++) {
             const size_t o = (size_t)i2 * W;
             double arg = fsc_row[i2] + bsc_row[i2] - envsc;
             double rfac = std::exp(std::min(arg, 700.0));
+            double* __restrict__ pMo = ppM + o;
+            double* __restrict__ pIo = ppI + o;
+            const double* __restrict__ fMo = fM + o;
+            const double* __restrict__ fIo = fI + o;
+            const double* __restrict__ bMo = bM + o;
+            const double* __restrict__ bIo = bI + o;
+#pragma GCC ivdep
             for (int kk = 0; kk < W; kk++) {
-                ppM[o + kk] = fM[o + kk] * bM[o + kk] * rfac;
-                ppI[o + kk] = fI[o + kk] * bI[o + kk] * rfac;
+                pMo[kk] = fMo[kk] * bMo[kk] * rfac;
+                pIo[kk] = fIo[kk] * bIo[kk] * rfac;
             }
         }
-        delete[] fsc_row; delete[] bsc_row;
         ppN[0] = ppJ[0] = ppC[0] = 0.0;
         for (int i2 = 1; i2 <= Ld; i2++) {
             ppN[i2] = std::exp(wfxN[i2 - 1] + su.xN[0] + wbxN[i2] - envsc);
@@ -941,7 +1127,7 @@ int32_t hmmdp_domaindef(
         double domcorrection = 0.0;
         if (do_null2 && !null2_done) {
             // null2 by expectation over all states incl. N/C/J flank mass
-            double* wM = new double[W](); double* wI = new double[W]();
+            double* wM = g_arena.zalloc(W); double* wI = g_arena.zalloc(W);
             double wX = 0.0;
             for (int i2 = 1; i2 <= Ld; i2++) {
                 const size_t o = (size_t)i2 * W;
@@ -950,37 +1136,36 @@ int32_t hmmdp_domaindef(
                 }
                 wX += ppN[i2] + ppJ[i2] + ppC[i2];
             }
-            double* core = new double[K];
+            double* n2core = g_arena.alloc(K);
             for (int x = 0; x < K; x++) {
                 double v = 0.0;
                 const double* om_ = odds_m + (size_t)x * W;
                 const double* oi_ = odds_i + (size_t)x * W;
                 for (int kk = 1; kk <= M; kk++)
                     v += om_[kk] * wM[kk] + oi_[kk] * wI[kk];
-                core[x] = (v + wX) / (double)Ld;
+                n2core[x] = (v + wX) / (double)Ld;
             }
             for (int pos = a; pos <= b; pos++) {
                 uint8_t x = dsq[pos - 1];
                 double val;
-                if (x < K) val = core[x];
+                if (x < K) val = n2core[x];
                 else if (deg_one[x]) val = 1.0;
                 else {
                     val = 0.0;
                     const double* dw = degw + (size_t)x * K;
-                    for (int c = 0; c < K; c++) val += dw[c] * core[c];
+                    for (int c = 0; c < K; c++) val += dw[c] * n2core[c];
                 }
                 n2sc[pos] = val > 1e-300 ? std::log(val) : -700.0;
             }
-            delete[] wM; delete[] wI; delete[] core;
         }
         if (do_null2)
             for (int pos = a; pos <= b; pos++) domcorrection += n2sc[pos];
 
         // optimal accuracy DP + traceback
-        double* gMM = new double[M]; double* gIM = new double[M];
-        double* gDM = new double[M]; double* gMD = new double[M];
-        double* gDD = new double[M]; double* gBM = new double[M];
-        double* gMI = new double[W]; double* gII = new double[W];
+        double* gMM = g_arena.alloc(M); double* gIM = g_arena.alloc(M);
+        double* gDM = g_arena.alloc(M); double* gMD = g_arena.alloc(M);
+        double* gDD = g_arena.alloc(M); double* gBM = g_arena.alloc(M);
+        double* gMI = g_arena.alloc(W); double* gII = g_arena.alloc(W);
         for (int kk = 0; kk < M; kk++) {
             gMM[kk] = tMM[kk] > -5e29 ? 0.0 : NEGMASS;
             gIM[kk] = tIM[kk] > -5e29 ? 0.0 : NEGMASS;
@@ -993,11 +1178,13 @@ int32_t hmmdp_domaindef(
             gMI[kk] = tMI[kk] > -5e29 ? 0.0 : NEGMASS;
             gII[kk] = tII[kk] > -5e29 ? 0.0 : NEGMASS;
         }
-        double* Mx = new double[rows]; double* Ix = new double[rows];
-        double* Dx = new double[rows];
-        double* oxN = new double[Ld + 1]; double* oxB = new double[Ld + 1];
-        double* oxE = new double[Ld + 1]; double* oxJ = new double[Ld + 1];
-        double* oxC = new double[Ld + 1];
+        double* Mx = g_arena.alloc(rows); double* Ix = g_arena.alloc(rows);
+        double* Dx = g_arena.alloc(rows);
+        double* oxN = g_arena.alloc(Ld + 1);
+        double* oxB = g_arena.alloc(Ld + 1);
+        double* oxE = g_arena.alloc(Ld + 1);
+        double* oxJ = g_arena.alloc(Ld + 1);
+        double* oxC = g_arena.alloc(Ld + 1);
         int eJ_ok = su.xE[0] > -5e29 ? 1 : 0;
         double oasc = hmmdp_optacc(ppM, ppI, ppN, ppJ, ppC,
                                    gMM, gIM, gDM, gMD, gDD, gMI, gII, gBM,
@@ -1097,15 +1284,7 @@ int32_t hmmdp_domaindef(
             ndom++;
             tr_off[ndom] = tb.n;
         }
-        delete[] fM; delete[] fI; delete[] fD;
-        delete[] bM; delete[] bI; delete[] bD;
-        delete[] wfxN; delete[] wfxB; delete[] wfxE; delete[] wfxC; delete[] wfxJ;
-        delete[] wbxN; delete[] wbxB; delete[] wbxE; delete[] wbxC; delete[] wbxJ;
-        delete[] ppM; delete[] ppI; delete[] ppN; delete[] ppJ; delete[] ppC;
-        delete[] gMM; delete[] gIM; delete[] gDM; delete[] gMD; delete[] gDD;
-        delete[] gBM; delete[] gMI; delete[] gII;
-        delete[] Mx; delete[] Ix; delete[] Dx;
-        delete[] oxN; delete[] oxB; delete[] oxE; delete[] oxJ; delete[] oxC;
+        g_arena.release(rmark);
         return ok;
     };
 
@@ -1132,35 +1311,33 @@ int32_t hmmdp_domaindef(
                 const uint8_t* win = dsq + (ii - 1);
                 Specials sr; sr.config(Ld, true);
                 const size_t rows = (size_t)(Ld + 1) * W;
-                double* rM = new double[rows]; double* rI = new double[rows];
-                double* rD = new double[rows];
-                double* rxN = new double[Ld + 1]; double* rxB = new double[Ld + 1];
-                double* rxE = new double[Ld + 1]; double* rxC = new double[Ld + 1];
-                double* rxJ = new double[Ld + 1];
-                double* rrsc = new double[Ld + 1];
-                hmmdp_forward(win, Ld, tBM, tMM, tIM, tDM, tMD, tDD,
-                              tMI, tII, msc, isc,
-                              sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp,
-                              rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 2, rrsc);
+                Arena::Mark gmark = g_arena.mark();
+                double* rM = g_arena.alloc(rows);
+                double* rI = g_arena.alloc(rows);
+                double* rD = g_arena.alloc(rows);
+                double* rxN = g_arena.alloc(Ld + 1);
+                double* rxB = g_arena.alloc(Ld + 1);
+                double* rxE = g_arena.alloc(Ld + 1);
+                double* rxC = g_arena.alloc(Ld + 1);
+                double* rxJ = g_arena.alloc(Ld + 1);
+                double* rrsc = g_arena.alloc(Ld + 1);
+                ExpProf Pr(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
+                           sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp, core);
+                fwd_impl(Pr, win, Ld, sr.xN, M, Kp,
+                         rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 2, rrsc);
                 const int max_spans = nsamples * 16;
                 int32_t* spans = new int32_t[3 * max_spans];
-                double* n2acc = new double[Ld + 2]();
+                double* n2acc = g_arena.zalloc(Ld + 2);
                 uint64_t rseed = mix64(seed ^ mix64((uint64_t)region_idx + 1));
-                ExpProf EP(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
-                           sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp);
+                const ExpProf& EP = Pr;
                 int nsp = stotrace_odds(
                     win, Ld, rM, rI, rD, rrsc, rxN, rxB, rxE, rxC, rxJ,
                     EP, sr.xE, sr.xN, sr.xJ, sr.xC,
                     odds_m, odds_i, M, K, nsamples, rseed,
                     spans, max_spans, n2acc);
-                delete[] rrsc;
-                delete[] rM; delete[] rI; delete[] rD;
-                delete[] rxN; delete[] rxB; delete[] rxE; delete[] rxC;
-                delete[] rxJ;
                 if (do_null2)
                     for (int pos = 1; pos <= Ld; pos++)
                         n2sc[ii + pos - 1] = n2acc[pos] / nsamples;
-                delete[] n2acc;
 
                 // dedup spans -> unique (a,b) with multiplicity + sample sets
                 // envs from single-linkage clustering (>= 0.8 overlap of the
@@ -1252,6 +1429,8 @@ int32_t hmmdp_domaindef(
                     delete[] order; delete[] ua; delete[] ub; delete[] uc;
                     delete[] uoff; delete[] usamp;
                 }
+                delete[] spans;
+                g_arena.release(gmark);
                 if (nenv == 0) { env_a[0] = ii; env_b[0] = jj; nenv = 1; }
                 // sort envelopes by start
                 for (int x = 1; x < nenv; x++)
@@ -1278,10 +1457,9 @@ int32_t hmmdp_domaindef(
         }
     }
 
-    delete[] fxN; delete[] fxB; delete[] fxE; delete[] fxC; delete[] fxJ;
-    delete[] bxN; delete[] bxB; delete[] bxE; delete[] bxC; delete[] bxJ;
     double nexpected = etot[L];
-    delete[] btot; delete[] etot; delete[] mocc;
+    g_arena.release(call_mark);
+    delete local_core;
     out_scalars[0] = fwdsc;
     out_scalars[1] = nexpected;
     out_scalars[2] = nregions;

@@ -112,8 +112,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I32P, _D, _I32,                    # dom_int, dom_dbl, max_dom
         _I8P, _I32P, _I32P, _D,             # trace arrays
         _I64PP, ctypes.c_int64,             # tr_off, max_tr
+        ctypes.c_void_p,                    # cached ExpCore handle or NULL
     ]
     lib.hmmdp_domaindef.restype = ctypes.c_int32
+    lib.hmmdp_core_new.argtypes = [_D, _D, _D, _D, _D, _D, _D, _D,
+                                   _D, _D, _I32, _I32]
+    lib.hmmdp_core_new.restype = ctypes.c_void_p
+    lib.hmmdp_core_free.argtypes = [ctypes.c_void_p]
+    lib.hmmdp_core_free.restype = None
     lib.hmmdp_bias_filter.argtypes = [_U8, _I32, _D]
     lib.hmmdp_bias_filter.restype = ctypes.c_double
     lib.hmmdp_bias_filter_batch.argtypes = [
@@ -140,10 +146,12 @@ def ssv_seed(quant, dsq: np.ndarray, xBv: int, thresh: int,
 
 class ProfTensors:
     """Float64-contiguous profile tensors for the C ABI (cached on the
-    profile object; length-model specials refresh on reconfig)."""
+    profile object; length-model specials refresh on reconfig).  Also owns
+    the native ``ExpCore`` handle (precomputed odds tables) so repeated
+    domaindef calls skip the ~10k exp() table build."""
 
     __slots__ = ("tBM", "tMM", "tIM", "tDM", "tMD", "tDD", "tMI", "tII",
-                 "msc", "isc", "M", "Kp")
+                 "msc", "isc", "M", "Kp", "_core_handle")
 
     def __init__(self, prof):
         def c(a):
@@ -155,6 +163,42 @@ class ProfTensors:
         self.msc, self.isc = c(prof.msc), c(prof.isc)
         self.M = prof.M
         self.Kp = prof.alphabet.Kp
+        self._core_handle = None
+        lib = get_lib()
+        if lib is not None:
+            self._core_handle = _CoreHandle(lib.hmmdp_core_new(
+                self.tBM, self.tMM, self.tIM, self.tDM, self.tMD,
+                self.tDD, self.tMI, self.tII, self.msc, self.isc,
+                self.M, self.Kp))
+
+    @property
+    def core(self):
+        h = self._core_handle
+        return h.ptr if h is not None else None
+
+
+class _CoreHandle:
+    """Owns one native ExpCore pointer.  Shared (never duplicated) across
+    copies/deepcopies so the pointer is freed exactly once."""
+
+    __slots__ = ("ptr",)
+
+    def __init__(self, ptr):
+        self.ptr = ptr
+
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __del__(self):
+        ptr, self.ptr = self.ptr, None
+        if ptr:
+            try:
+                _lib.hmmdp_core_free(ptr)
+            except Exception:
+                pass
 
 
 def get_tensors(prof) -> ProfTensors:
@@ -308,6 +352,35 @@ def prewarm(prof) -> None:
     _null2_tables(prof.alphabet)
 
 
+import threading as _threading
+
+_dd_tls = _threading.local()
+
+
+def _dd_buffers(max_dom: int, max_tr: int) -> dict:
+    """Per-thread reusable output buffers for domaindef: allocating +
+    zeroing ~1 MB of numpy arrays per survivor call costs more than the
+    DP itself on small targets.  Buffers only grow."""
+    bufs = getattr(_dd_tls, "bufs", None)
+    if (bufs is None or bufs["max_dom"] < max_dom
+            or bufs["max_tr"] < max_tr):
+        md = max(max_dom, bufs["max_dom"] if bufs else 0)
+        mt = max(max_tr, bufs["max_tr"] if bufs else 0)
+        bufs = dict(
+            max_dom=md, max_tr=mt,
+            scalars=np.empty(6),
+            dom_int=np.empty(md * 6, dtype=np.int32),
+            dom_dbl=np.empty(md * 3),
+            tr_st=np.empty(mt, dtype=np.int8),
+            tr_k=np.empty(mt, dtype=np.int32),
+            tr_i=np.empty(mt, dtype=np.int32),
+            tr_pp=np.empty(mt),
+            tr_off=np.empty(md + 1, dtype=np.int64),
+        )
+        _dd_tls.bufs = bufs
+    return bufs
+
+
 def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
               nsamples: int = 200, rt1: float = 0.25, rt2: float = 0.10,
               rt3: float = 0.20, fwd_min: float = -np.inf):
@@ -333,15 +406,15 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     degw, deg_one = _null2_tables(prof_multi.alphabet)
     max_dom = max(64, min(1024, L // 2 + 8))
     max_tr = int(L + max_dom * (pt.M + 64) + 1024)
-    out_scalars = np.zeros(6)
+    bufs = _dd_buffers(max_dom, max_tr)
+    out_scalars = bufs["scalars"]
     n2sc = np.zeros(L + 1)
-    dom_int = np.zeros(max_dom * 6, dtype=np.int32)
-    dom_dbl = np.zeros(max_dom * 3)
-    tr_st = np.zeros(max_tr, dtype=np.int8)
-    tr_k = np.zeros(max_tr, dtype=np.int32)
-    tr_i = np.zeros(max_tr, dtype=np.int32)
-    tr_pp = np.zeros(max_tr)
-    tr_off = np.zeros(max_dom + 1, dtype=np.int64)
+    dom_int = bufs["dom_int"]
+    dom_dbl = bufs["dom_dbl"]
+    tr_st, tr_k, tr_i, tr_pp = (bufs["tr_st"], bufs["tr_k"],
+                                bufs["tr_i"], bufs["tr_pp"])
+    tr_off = bufs["tr_off"]
+    max_dom, max_tr = bufs["max_dom"], bufs["max_tr"]
     dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
     ndom = lib.hmmdp_domaindef(
         dsq8, L,
@@ -351,7 +424,7 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
         1 if do_null2 else 0, seed & 0x7FFFFFFFFFFFFFFF, nsamples,
         rt1, rt2, rt3, float(fwd_min),
         out_scalars, n2sc, dom_int, dom_dbl, max_dom,
-        tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr)
+        tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr, pt.core)
     if ndom < 0:
         return None
     domains = []
