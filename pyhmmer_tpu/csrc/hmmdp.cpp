@@ -1511,4 +1511,16 @@ void hmmdp_bias_filter_batch(const uint8_t* codes, const int64_t* lens,
     }
 }
 
+// Indexed variant over a shared bucket: rows[j] selects rows of the full
+// codes matrix, avoiding the fancy-index copy on the Python side.
+void hmmdp_bias_filter_idx(const uint8_t* codes, const int64_t* lens,
+                           const int64_t* rows, int32_t nrows,
+                           int32_t Lmax, const double* odds1, double* out) {
+    for (int32_t j = 0; j < nrows; j++) {
+        int64_t r = rows[j];
+        out[j] = hmmdp_bias_filter(codes + r * Lmax,
+                                   (int32_t)lens[r], odds1);
+    }
+}
+
 }  // extern "C"

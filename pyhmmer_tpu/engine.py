@@ -261,7 +261,7 @@ class SearchEngine:
         targets, so this is off the device critical path entirely)."""
         from .ops import native as _native
         e1 = st.pipelines[pi].background.filter_odds_table()
-        out = _native.bias_filter_batch(e1, codes[cols], lengths[cols])
+        out = _native.bias_filter_rows(e1, codes, lengths, cols)
         if out is None:                      # no native library: per-seq
             bgf = st.pipelines[pi].background
             out = np.empty(len(cols))

@@ -125,6 +125,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hmmdp_bias_filter_batch.argtypes = [
         _U8, _I64PP, _I32, _I32, _D, _D]
     lib.hmmdp_bias_filter_batch.restype = None
+    lib.hmmdp_bias_filter_idx.argtypes = [
+        _U8, _I64PP, _I64PP, _I32, _I32, _D, _D]
+    lib.hmmdp_bias_filter_idx.restype = None
     _lib = lib
     return _lib
 
@@ -437,6 +440,12 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
             i=tr_i[o0:o1].tolist(),
             pp=tr_pp[o0:o1].tolist(),
         )
+        # numpy copies for the vectorized alignment-display builder
+        # (the shared per-thread buffers are reused on the next call,
+        # so these must be materialized copies)
+        tr.np_arrays = (tr_st[o0:o1].astype(np.uint8),
+                        tr_k[o0:o1].copy(), tr_i[o0:o1].copy(),
+                        tr_pp[o0:o1].copy())
         dom = dd.DomainEnvelope(
             ienv=int(a), jenv=int(b),
             envsc=float(dom_dbl[3 * d]),
@@ -471,6 +480,24 @@ def bias_filter_batch(odds1: np.ndarray, codes: np.ndarray,
     N, Lmax = codes.shape
     out = np.empty(N, dtype=np.float64)
     lib.hmmdp_bias_filter_batch(codes, lens64, N, Lmax, odds1, out)
+    return out
+
+
+def bias_filter_rows(odds1: np.ndarray, codes: np.ndarray,
+                     lens: np.ndarray, rows: np.ndarray
+                     ) -> Optional[np.ndarray]:
+    """Like :func:`bias_filter_batch` but over selected rows of a shared
+    (already-contiguous) bucket matrix -- no fancy-index copy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert codes.flags["C_CONTIGUOUS"] and codes.dtype == np.uint8
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    rows64 = np.ascontiguousarray(rows, dtype=np.int64)
+    odds1 = np.ascontiguousarray(odds1, dtype=np.float64)
+    out = np.empty(len(rows64), dtype=np.float64)
+    lib.hmmdp_bias_filter_idx(codes, lens64, rows64, len(rows64),
+                              codes.shape[1], odds1, out)
     return out
 
 

@@ -311,12 +311,94 @@ class Pipeline:
         hit.best_domain_idx = best_idx
         return hit
 
+    @staticmethod
+    def _display_tables(prof: Profile):
+        """Cached per-profile char tables for the alignment display."""
+        t = getattr(prof, "_display_tables", None)
+        if t is None:
+            symbols = prof.alphabet.symbols
+            Kp = prof.alphabet.Kp
+            sym_u = np.frombuffer(symbols.encode(), np.uint8).copy()
+            sym_l = np.frombuffer(symbols.lower().encode(), np.uint8).copy()
+            cons = prof.consensus or b""
+            cons_u8 = np.full(prof.M + 2, ord("x"), np.uint8)
+            n = min(len(cons), prof.M + 2)
+            if n:
+                cons_u8[:n] = np.frombuffer(cons[:n], np.uint8)
+            # uppercased consensus for the identity comparison
+            cons_up = cons_u8.copy()
+            low = (cons_up >= ord("a")) & (cons_up <= ord("z"))
+            cons_up[low] -= 32
+            sym_up = sym_u.copy()
+            low = (sym_up >= ord("a")) & (sym_up <= ord("z"))
+            sym_up[low] -= 32
+            mpos = np.zeros((Kp, prof.M + 2), bool)
+            mpos[:, : prof.msc.shape[1]] = prof.msc > 0
+            t = (sym_u, sym_l, cons_u8, cons_up, sym_up, mpos)
+            prof._display_tables = t
+        return t
+
+    def _make_alignment_np(self, prof: Profile, sq: DigitalSequence,
+                           d: dd.DomainEnvelope):
+        """Vectorized alignment display from the native trace arrays
+        (identical output to the per-position loop below)."""
+        from .results import Alignment
+        st, karr, iarr, pp = d.trace.np_arrays
+        sym_u, sym_l, cons_u8, cons_up, sym_up, mpos = (
+            self._display_tables(prof))
+        m_mask = st == ord("M")
+        if m_mask.any():
+            mz = np.where(m_mask)[0]
+            z0, z1 = int(mz[0]), int(mz[-1]) + 1
+        else:
+            z0, z1 = 0, len(st)
+        st = st[z0:z1]; karr = karr[z0:z1]
+        iarr = iarr[z0:z1]; pp = pp[z0:z1]
+        isM = st == ord("M")
+        isI = st == ord("I")
+        isD = st == ord("D")
+        keep = isM | isI | isD
+        if not keep.all():
+            stop = int(np.argmin(keep))      # first non-MID: break as loop
+            st = st[:stop]; karr = karr[:stop]
+            iarr = iarr[:stop]; pp = pp[:stop]
+            isM = isM[:stop]; isI = isI[:stop]; isD = isD[:stop]
+        res = sq.sequence[np.maximum(iarr - 1, 0)]
+        mc = cons_u8[np.minimum(karr, len(cons_u8) - 1)]
+        model = np.where(isI, ord("."), mc).astype(np.uint8)
+        target = np.where(
+            isM, sym_u[res],
+            np.where(isI, sym_l[res], ord("-"))).astype(np.uint8)
+        same = cons_up[np.minimum(karr, len(cons_up) - 1)] == sym_up[res]
+        plus = mpos[res, np.minimum(karr, mpos.shape[1] - 1)]
+        mid = np.where(isM & same, mc,
+                       np.where(isM & plus, ord("+"),
+                                ord(" "))).astype(np.uint8)
+        ppx = np.minimum(np.rint(pp * 10.0).astype(np.int64), 10)
+        ppc = np.where(ppx >= 10, ord("*"), ord("0") + ppx).astype(np.uint8)
+        ppc = np.where(isD, ord("."), ppc).astype(np.uint8)
+        return Alignment(
+            hmm_name=prof.name,
+            hmm_accession=prof.accession or prof.name,
+            hmm_from=d.hmmfrom, hmm_to=d.hmmto,
+            hmm_sequence=model.tobytes().decode(),
+            hmm_length=prof.M,
+            target_name=sq.name,
+            target_from=d.iali, target_to=d.jali,
+            target_sequence=target.tobytes().decode(),
+            target_length=len(sq),
+            identity_sequence=mid.tobytes().decode(),
+            posterior_probabilities=ppc.tobytes().decode(),
+        )
+
     def _make_alignment(self, prof: Profile, sq: DigitalSequence,
                         d: dd.DomainEnvelope):
         """Build the alignment display strings from an OA trace
         (``p7_alidisplay_Create`` semantics)."""
         from .results import Alignment
         tr = d.trace
+        if getattr(tr, "np_arrays", None) is not None:
+            return self._make_alignment_np(prof, sq, d)
         cons = (prof.consensus or b"").decode() if prof.consensus else None
         syms = prof.alphabet.symbols
         model_line = []
