@@ -1524,3 +1524,59 @@ void hmmdp_bias_filter_idx(const uint8_t* codes, const int64_t* lens,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Multihit local Viterbi score (log-space max-plus, float-exact
+// semantics matching ops/reference.py viterbi_score).  Score-only: used
+// as the host-side F2 gate for survivor pairs too sparse to justify a
+// batched device Viterbi call.
+double hmmdp_viterbi(
+    const uint8_t* dsq, int32_t L,
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc,
+    const double* xE, const double* xN, const double* xJ, const double* xC,
+    int32_t M, int32_t Kp) {
+    const int W = M + 1;
+    Arena::Mark amark = g_arena.mark();
+    double* mrow = g_arena.alloc(W);
+    double* irow = g_arena.alloc(W);
+    double* drow = g_arena.alloc(W);
+    double* nm = g_arena.alloc(W);
+    double* ni = g_arena.alloc(W);
+    double* nd = g_arena.alloc(W);
+    for (int k = 0; k < W; k++) mrow[k] = irow[k] = drow[k] = NEGMASS;
+    double xNs = 0.0, xBs = xN[1], xJs = NEGMASS, xCs = NEGMASS;
+    for (int i = 1; i <= L; i++) {
+        const double* ms = msc + (size_t)dsq[i - 1] * W;
+        const double* is = isc + (size_t)dsq[i - 1] * W;
+        nm[0] = ni[0] = nd[0] = NEGMASS;
+        for (int k = 1; k <= M; k++) {
+            double v = std::max(
+                std::max(mrow[k - 1] + tMM[k - 1], irow[k - 1] + tIM[k - 1]),
+                std::max(drow[k - 1] + tDM[k - 1], xBs + tBM[k - 1]));
+            nm[k] = ms[k] + v;
+        }
+        for (int k = 1; k < M; k++)
+            ni[k] = is[k] + std::max(mrow[k] + tMI[k], irow[k] + tII[k]);
+        for (int k = std::max((int)M, 1); k < W; k++) ni[k] = NEGMASS;
+        if (M >= 1) nd[1] = NEGMASS;
+        for (int k = 2; k <= M; k++)
+            nd[k] = std::max(nm[k - 1] + tMD[k - 1], nd[k - 1] + tDD[k - 1]);
+        double e = NEGMASS;
+        for (int k = 1; k <= M; k++) e = std::max(e, nm[k]);
+        for (int k = 1; k <= M; k++) e = std::max(e, nd[k]);
+        double nJ = std::max(xJs + xJ[0], e + xE[0]);
+        double nC = std::max(xCs + xC[0], e + xE[1]);
+        double nN = xNs + xN[0];
+        double nB = std::max(nN + xN[1], nJ + xJ[1]);
+        xNs = nN; xBs = nB; xJs = nJ; xCs = nC;
+        std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
+    }
+    g_arena.release(amark);
+    return xCs + xC[1];
+}
+
+}  // extern "C"

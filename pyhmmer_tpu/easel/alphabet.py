@@ -110,6 +110,15 @@ class Alphabet:
 
     @classmethod
     def from_type(cls, type_code: int) -> "Alphabet":
+        if type_code not in cls._BY_TYPE:
+            # instantiate the singleton on demand (eslRNA=1 eslDNA=2
+            # eslAMINO=3); the constructor registers it
+            if type_code == 1:
+                return cls.rna()
+            if type_code == 2:
+                return cls.dna()
+            if type_code == 3:
+                return cls.amino()
         return cls._BY_TYPE[type_code]
 
     @classmethod

@@ -52,6 +52,66 @@ class MSA:
     def nsequences(self) -> int:
         return len(self.names)
 
+    # -- residue/gap predicate implemented by subclasses --------------------
+
+    def _residue_mask(self) -> np.ndarray:
+        """Boolean [nseq, alen]: True where the cell is a residue."""
+        raise NotImplementedError
+
+    def mark_fragments(self, threshold: float) -> "Bitfield":
+        """Mark fragmented sequences: fractional span (first..last residue)
+        over alignment length below ``threshold``
+        (``esl_msa_MarkFragments``; reference ``easel.pyx:5226``)."""
+        from .containers import Bitfield
+        if threshold < 0.0 or threshold > 1.0:
+            from ..errors import InvalidParameter
+            raise InvalidParameter("threshold", threshold,
+                                   hint="real number between 0 and 1")
+        mask = self._residue_mask()
+        nseq, alen = mask.shape
+        bits = Bitfield.zeros(nseq)
+        for i in range(nseq):
+            idx = np.where(mask[i])[0]
+            if len(idx) == 0:
+                bits[i] = True
+                continue
+            span = (idx[-1] - idx[0] + 1) / alen if alen else 0.0
+            bits[i] = span < threshold
+        return bits
+
+    def _copy_annotations_to(self, out: "MSA") -> None:
+        for attr in ("accession", "description", "author", "reference",
+                     "consensus_structure", "model_mask"):
+            setattr(out, attr, getattr(self, attr))
+
+    def _select_impl(self, out: "MSA", rows, sequences, columns):
+        """Shared row/column subsetting for :meth:`select`."""
+        if sequences is None:
+            seq_idx = np.arange(len(self.names))
+        else:
+            seq_idx = np.asarray(list(sequences), dtype=np.int64)
+            if len(seq_idx) and (seq_idx.min() < 0
+                                 or seq_idx.max() >= len(self.names)):
+                raise IndexError("sequence index out of range")
+        if columns is None:
+            col_idx = None
+        else:
+            col_idx = np.asarray(list(columns), dtype=np.int64)
+            alen = self.alignment_length
+            if len(col_idx) and (col_idx.min() < 0 or col_idx.max() >= alen):
+                raise IndexError("column index out of range")
+        out.names = [self.names[int(i)] for i in seq_idx]
+        self._copy_annotations_to(out)
+        if col_idx is not None:
+            for attr in ("reference", "consensus_structure", "model_mask"):
+                v = getattr(out, attr)
+                if v is not None:
+                    setattr(out, attr, bytes(bytearray(
+                        v[int(c)] for c in col_idx)))
+        if self.weights is not None:
+            out.weights = np.asarray(self.weights)[seq_idx].copy()
+        return seq_idx, col_idx
+
 
 class TextMSA(MSA):
     """Alignment stored as text rows."""
@@ -67,6 +127,45 @@ class TextMSA(MSA):
     @property
     def alignment_length(self) -> int:
         return len(self.rows[0]) if self.rows else 0
+
+    def _residue_mask(self) -> np.ndarray:
+        # in a TextMSA any alphanumeric char is a residue
+        # (reference easel.pyx:5245)
+        if not self.rows:
+            return np.zeros((0, 0), dtype=bool)
+        arr = np.frombuffer("".join(self.rows).encode("latin-1"),
+                            np.uint8).reshape(len(self.rows), -1)
+        return (((arr >= ord("A")) & (arr <= ord("Z")))
+                | ((arr >= ord("a")) & (arr <= ord("z")))
+                | ((arr >= ord("0")) & (arr <= ord("9"))))
+
+    def select(self, sequences=None, columns=None) -> "TextMSA":
+        """Select and copy a subset of the alignment
+        (``MSA.select``, reference ``easel.pyx:5276``)."""
+        out = TextMSA(self.name)
+        seq_idx, col_idx = self._select_impl(out, None, sequences, columns)
+        rows = [self.rows[int(i)] for i in seq_idx]
+        if col_idx is not None:
+            rows = ["".join(r[int(c)] for c in col_idx) for r in rows]
+        out.rows = rows
+        return out
+
+    def checksum(self) -> int:
+        """A stable checksum over the unaligned sequences."""
+        import zlib
+        h = 0
+        for s in self.sequences_as_unaligned():
+            h = zlib.crc32(s.sequence.encode("ascii"), h)
+        return h
+
+    def copy(self) -> "TextMSA":
+        out = TextMSA(self.name)
+        out.names = list(self.names)
+        out.rows = list(self.rows)
+        self._copy_annotations_to(out)
+        out.weights = None if self.weights is None else np.asarray(
+            self.weights).copy()
+        return out
 
     def digitize(self, alphabet: Alphabet) -> "DigitalMSA":
         msa = DigitalMSA(alphabet, self.name)
@@ -110,6 +209,63 @@ class DigitalMSA(MSA):
     @property
     def alignment_length(self) -> int:
         return self.codes.shape[1]
+
+    def _residue_mask(self) -> np.ndarray:
+        # residues are core or degenerate codes (not gap/nonres/missing)
+        gap = self.alphabet.gap_code
+        return ((self.codes != gap)
+                & (self.codes != self.alphabet.nonresidue_code)
+                & (self.codes != self.alphabet.missing_code))
+
+    def select(self, sequences=None, columns=None) -> "DigitalMSA":
+        """Select and copy a subset of the alignment
+        (``MSA.select``, reference ``easel.pyx:5276``)."""
+        out = DigitalMSA(self.alphabet, self.name)
+        seq_idx, col_idx = self._select_impl(out, None, sequences, columns)
+        codes = self.codes[seq_idx]
+        if col_idx is not None:
+            codes = codes[:, col_idx]
+        out.codes = codes.copy()
+        return out
+
+    def copy(self) -> "DigitalMSA":
+        out = DigitalMSA(self.alphabet, self.name)
+        out.names = list(self.names)
+        out.codes = self.codes.copy()
+        self._copy_annotations_to(out)
+        out.weights = None if self.weights is None else np.asarray(
+            self.weights).copy()
+        return out
+
+    def reverse_complement(self, inplace: bool = False) -> "DigitalMSA":
+        """Reverse-complement every row of a nucleotide alignment
+        (``DigitalMSA.reverse_complement``, reference ``easel.pyx:6431``)."""
+        comp = self.alphabet.complement_map
+        if comp is None:
+            raise ValueError(
+                "reverse_complement requires a nucleotide alphabet")
+        rc = comp[self.codes[:, ::-1]]
+        if inplace:
+            self.codes = np.ascontiguousarray(rc)
+            return self
+        out = self.copy()
+        out.codes = np.ascontiguousarray(rc)
+        return out
+
+    @classmethod
+    def sample(cls, alphabet: Alphabet, max_sequences: int,
+               max_length: int, randomness=None) -> "DigitalMSA":
+        """Sample a random alignment (testing helper, mirrors
+        ``DigitalMSA.sample``, reference ``easel.pyx:5959``)."""
+        from .random import Randomness
+        rng = randomness or Randomness()
+        nseq = 1 + rng._rng.randint(0, max(1, max_sequences))
+        alen = 1 + rng._rng.randint(0, max(1, max_length))
+        out = cls(alphabet)
+        out.names = [b"seq%d" % i for i in range(nseq)]
+        out.codes = rng._rng.randint(
+            0, alphabet.K, (nseq, alen)).astype(np.uint8)
+        return out
 
     def textize(self) -> TextMSA:
         msa = TextMSA(self.name)

@@ -229,6 +229,20 @@ class SequenceFile:
             return seq.digitize(self.alphabet)
         return seq
 
+    def readinto(self, seq) -> Optional[object]:
+        """Read the next sequence into an existing ``Sequence`` object,
+        returning it (or None at EOF) -- reference ``SequenceFile.readinto``
+        (``easel.pyx:8850-9672``).  The TPU build has no preallocated C
+        buffers, so this copies the parsed record's fields into ``seq``."""
+        nxt = self.read()
+        if nxt is None:
+            return None
+        seq.name = nxt.name
+        seq.accession = nxt.accession
+        seq.description = nxt.description
+        seq.sequence = nxt.sequence
+        return seq
+
     def read_block(self, sequences: Optional[int] = None,
                    residues: Optional[int] = None):
         """Read up to ``sequences`` seqs / ``residues`` residues into a block."""

@@ -127,22 +127,22 @@ def _gather_survivors(codes_t, lens_d, ridx):
     return ct, lens.reshape(1, -1), lm
 
 
-def _gather_rows(dev: "B.SeqDevice", rows: np.ndarray):
-    """Device-side gather of survivor rows from a bucket, padded up the
-    batch ladder.  Returns (codes, mask, loop, move) device arrays."""
-    n = len(rows)
-    Bp = _pad_b(n)
-    ridx = np.zeros(Bp, dtype=np.int32)
-    ridx[:n] = rows
-    ridx_d = jnp.asarray(ridx)
-    codes = jnp.take(dev.codes, ridx_d, axis=0)
-    mask = jnp.take(dev.mask_b, ridx_d, axis=0)
-    if n < Bp:
-        rowvalid = jnp.asarray(np.arange(Bp) < n)
-        mask = mask & rowvalid[:, None]
-    loop = jnp.take(dev.loop, ridx_d)
-    move = jnp.take(dev.move, ridx_d)
-    return codes, mask, loop, move, n
+@_jax.jit
+def _gather_rows_dev_impl(dev_codes, dev_mask, dev_loop, dev_move, ridx):
+    """Device-side gather of survivor rows from a bucket (-1 = padding).
+    Returns (codes, mask, loop, move) device arrays."""
+    valid = ridx >= 0
+    r = jnp.maximum(ridx, 0)
+    codes = jnp.take(dev_codes, r, axis=0)
+    mask = jnp.take(dev_mask, r, axis=0) & valid[:, None]
+    loop = jnp.take(dev_loop, r)
+    move = jnp.take(dev_move, r)
+    return codes, mask, loop, move
+
+
+def _gather_rows_dev(dev: "B.SeqDevice", ridx_dev):
+    return _gather_rows_dev_impl(dev.codes, dev.mask_b, dev.loop,
+                                 dev.move, ridx_dev)
 
 
 class _ChunkState:
@@ -168,11 +168,11 @@ class _ChunkState:
                     hmm, bg, 400, multihit=True))
                 profs_uni.append(Profile(hmm.M, hmm.alphabet).configure(
                     hmm, bg, 400, multihit=False))
-            # pad the profile stack up a small ladder so kernel P-shapes
-            # are shared across chunks (bounds XLA compilation count)
-            Ppad = 1
-            while Ppad < len(chunk):
-                Ppad *= 2
+            # pad the profile stack to a multiple of 8 so kernel P-shapes
+            # are shared across chunks without pow2 blowup (the padded
+            # grid steps are wasted work: scan kernels are latency-bound
+            # per row, so wide-but-few stacks beat many narrow ones)
+            Ppad = max(8, ((len(chunk) + 7) // 8) * 8)
             profs_padded = profs + [profs[0]] * (Ppad - len(chunk))
             pb = B.ProfileBatch(profs_padded, Mp=Mp)
             ev = np.stack([p.evparam.astype(np.float64) for p in profs])
@@ -273,21 +273,21 @@ class SearchEngine:
                           - Lb * np.log(p1) - np.log(1.0 - p1))
         return out
 
-    def _forward_dev(self, pb, dev, rows):
+    def _forward_dev(self, pb, dev, ridx_dev, n):
+        """Forward scores for gathered survivor lanes.  ``ridx_dev`` is a
+        device int32 row (-1 padded) -- uploaded in ONE batch for the whole
+        stage by the caller: per-job uploads each cost a full round trip
+        on tunneled TPU setups and dominated stage time."""
         if self.use_pallas:
             from .ops import fwd_pallas as FP
-            n = len(rows)
-            Bp = max(128, _pad_b(n))
-            ridx = np.full(Bp, -1, dtype=np.int32)
-            ridx[:n] = rows
             codes_t, lens, lm = _gather_survivors(
-                dev.codes_t, dev.lens_d, jnp.asarray(ridx))
+                dev.codes_t, dev.lens_d, ridx_dev)
             t = FP.build_fwd_tensors(pb)
             out = FP._fwd_pallas(lens, codes_t, t["ems"], t["eis"],
                                  t["etr"], t["tdd"], lm)
             return out, n
         from .ops.batch import _forward_kernel
-        codes, mask, loop, move, n = _gather_rows(dev, rows)
+        codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)
         xEj = np.float32(np.log(0.5))
         out = _forward_kernel(
             codes, mask,
@@ -296,21 +296,17 @@ class SearchEngine:
             xEj, xEj, loop, move, pb.Kp)
         return out, n
 
-    def _viterbi_dev(self, pb, dev, rows):
+    def _viterbi_dev(self, pb, dev, ridx_dev, n):
         if self.use_pallas:
             from .ops import vit_pallas as VP
-            n = len(rows)
-            Bp = max(128, _pad_b(n))
-            ridx = np.full(Bp, -1, dtype=np.int32)
-            ridx[:n] = rows
             codes_t, lens, lm = _gather_survivors(
-                dev.codes_t, dev.lens_d, jnp.asarray(ridx))
+                dev.codes_t, dev.lens_d, ridx_dev)
             t = VP.build_vit_tensors(pb)
             out = VP._vit_pallas(lens, codes_t, t["msc"], t["isc"],
                                  t["tr"], lm)
             return out, n
         from .ops.batch import _viterbi_kernel
-        codes, mask, loop, move, n = _gather_rows(dev, rows)
+        codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)
         xEj = np.float32(np.log(0.5))
         out = _viterbi_kernel(
             codes, mask,
@@ -375,13 +371,22 @@ class SearchEngine:
         pending = []   # (job tuple, future | None)
 
         def _run_domaindef(job):
-            """Worker-thread body: native domaindef (GIL released during
-            the C call) + exact-score F3 gate + Hit construction.  The
-            returned Hit is appended serially by the collect loop."""
-            ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b = job
+            """Worker-thread body: optional native Viterbi F2 gate (for
+            host-routed sparse pairs that skipped the device Viterbi),
+            then native domaindef (GIL released during the C calls) +
+            exact-score F3 gate + Hit construction.  The returned Hit is
+            appended serially by the collect loop."""
+            (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
+             vit_min) = job
             st = states[ci]
             pli = st.pipelines[pi]
             sq = targets[tgt]
+            if vit_min is not None and np.isfinite(vit_min):
+                v = _native.viterbi_score(st.profs[pi], sq.sequence)
+                if v is None:
+                    return None                  # caller falls back
+                if v < vit_min:
+                    return ("gated_vit",)
             out = _native.domaindef(st.profs[pi], sq.sequence,
                                     pli.null2, seed, fwd_min=fwd_min)
             if out is None:
@@ -393,7 +398,7 @@ class SearchEngine:
                                  fwdsc, nullsc_b, res)
             return ("hit", hit)
 
-        def _submit(ci, bi, pi, pass_row, fcols, idx):
+        def _submit(ci, bi, pi, pass_row, fcols, idx, vit_min_row=None):
             st = states[ci]
             pli = st.pipelines[pi]
             c = ctx[(ci, bi)]
@@ -408,8 +413,11 @@ class SearchEngine:
                         else int(pli._rng.integers(0, 2**62)))
                 filtersc_b = float(c["filtersc"][pi, b])
                 nullsc_b = float(c["nullsc"][b])
+                vit_min = (None if vit_min_row is None
+                           else float(vit_min_row[col]))
                 job = (ci, bi, pi, int(idx[b]), b, seed,
-                       filtersc_b + gate_off, filtersc_b, nullsc_b)
+                       filtersc_b + gate_off, filtersc_b, nullsc_b,
+                       vit_min)
                 fut = (executor.submit(_run_domaindef, job)
                        if executor is not None else None)
                 pending.append((job, fut))
@@ -480,6 +488,33 @@ class SearchEngine:
                 bsel = np.where(pass2.any(axis=0))[0]
                 ctx[(ci, bi)] = dict(filtersc=filtersc, nullsc=nullsc,
                                      pass2=pass2, P1b=P1b, bsel=bsel)
+                # sparse jobs skip the device cascade entirely: the scan
+                # kernels are latency-bound per row (cost ~ Lmax x P
+                # grid steps regardless of lane count), so when only a
+                # handful of (profile, target) pairs survive, the native
+                # host path (Viterbi gate + domaindef with its exact
+                # fwd_min bail) is cheaper AND overlaps the device work
+                # of the dense buckets
+                npairs = int(pass2.sum())
+                Lmax_b = codes.shape[1]
+                host_budget = native_ok and npairs <= max(
+                    4, int(6e-4 * Lmax_b * st.pb.P))
+                if host_budget:
+                    for pi, pli in enumerate(st.pipelines):
+                        cols = np.where(pass2[pi])[0]
+                        if len(cols) == 0:
+                            continue
+                        ev = st.ev[pi]
+                        skip = P1b[pi, cols] <= pli.F2
+                        pli.n_past_vit += int(skip.sum())
+                        vmin = (filtersc[pi, cols]
+                                + LOG2 * (ev[2]
+                                          - np.log(pli.F2) / ev[3]))
+                        vit_min_row = np.where(skip, -np.inf, vmin)
+                        _submit(ci, bi, pi,
+                                np.ones(len(cols), dtype=bool),
+                                cols, idx, vit_min_row)
+                    continue
                 s2_jobs.append((ci, bi))
 
         # -- stage 2 (device): Forward over bias survivors --
@@ -490,11 +525,28 @@ class SearchEngine:
         # afterwards only where P1b did not already skip it -- the
         # gate predicates are independent, so the surviving set is
         # identical to the reference order)
+        # one concatenated index upload for the whole stage (per-job
+        # uploads each pay a tunnel round trip)
         s2_parts = []
+        ridx_chunks, offs = [], []
+        off = 0
         for cj, bi in s2_jobs:
             c = ctx[(cj, bi)]
+            n = len(c["bsel"])
+            Bp = max(128, _pad_b(n))
+            ridx = np.full(Bp, -1, dtype=np.int32)
+            ridx[:n] = c["bsel"]
+            ridx_chunks.append(ridx)
+            offs.append((off, Bp, n))
+            off += Bp
+        ridx_all = (jnp.asarray(np.concatenate(ridx_chunks))
+                    if ridx_chunks else None)
+        for j, (cj, bi) in enumerate(s2_jobs):
+            c = ctx[(cj, bi)]
             dev = buckets.buckets[bi][3]
-            fsc_dev, nsel = self._forward_dev(states[cj].pb, dev, c["bsel"])
+            o, Bp, n = offs[j]
+            fsc_dev, nsel = self._forward_dev(
+                states[cj].pb, dev, ridx_all[o: o + Bp], n)
             c["nsel"] = nsel
             s2_parts.append(fsc_dev)
         s2_np = _fetch_all(s2_parts)
@@ -528,15 +580,34 @@ class SearchEngine:
             if need_vit.any():
                 vcols = np.where(need_vit.any(axis=0))[0]
                 c["vcols"] = vcols
-                dev = buckets.buckets[bi][3]
-                vsc_dev, nv = self._viterbi_dev(st.pb, dev, bsel[vcols])
-                c["nv"] = nv
                 s3_jobs.append((cj, bi))
-                s3_parts.append(vsc_dev)
             idx = buckets.buckets[bi][0]
             for pi in range(Preal):
                 _submit(cj, bi, pi, pass_fwd[pi] & ~need_vit[pi],
                         bsel, idx)
+        # single concatenated index upload for the Viterbi stage
+        ridx_chunks, offs = [], []
+        off = 0
+        for cj, bi in s3_jobs:
+            c = ctx[(cj, bi)]
+            rows = c["bsel"][c["vcols"]]
+            n = len(rows)
+            Bp = max(128, _pad_b(n))
+            ridx = np.full(Bp, -1, dtype=np.int32)
+            ridx[:n] = rows
+            ridx_chunks.append(ridx)
+            offs.append((off, Bp, n))
+            off += Bp
+        ridx_all = (jnp.asarray(np.concatenate(ridx_chunks))
+                    if ridx_chunks else None)
+        for j, (cj, bi) in enumerate(s3_jobs):
+            c = ctx[(cj, bi)]
+            dev = buckets.buckets[bi][3]
+            o, Bp, n = offs[j]
+            vsc_dev, nv = self._viterbi_dev(
+                states[cj].pb, dev, ridx_all[o: o + Bp], n)
+            c["nv"] = nv
+            s3_parts.append(vsc_dev)
         s3_np = _fetch_all(s3_parts)
 
         # -- stage 3 (host): Viterbi gate on the leftover columns --
@@ -562,9 +633,11 @@ class SearchEngine:
         # ---- collect: serial append of worker-built hits (deterministic
         # insertion order = deterministic tie-breaking in sort) ----
         for job, fut in pending:
-            ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b = job
+            (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
+             vit_min) = job
             st = states[ci]
             pli = st.pipelines[pi]
+            vit_gated_here = vit_min is not None and np.isfinite(vit_min)
             out = fut.result() if fut is not None else None
             if out is None:
                 # pure-Python fallback (no native library)
@@ -573,6 +646,11 @@ class SearchEngine:
                 pli.background.set_length(Lb)
                 st.profs[pi].reconfig_length(Lb)
                 st.profs_uni[pi].reconfig_length(Lb)
+                if vit_gated_here:
+                    v = refops.viterbi_score(st.profs[pi], sq.sequence)
+                    if v < vit_min:
+                        continue
+                    pli.n_past_vit += 1
                 fwd = refops.forward(st.profs[pi], sq.sequence)
                 Px = float(exp_surv((fwd.score - filtersc_b) / LOG2,
                                     st.ev[pi, 4], st.ev[pi, 5]))
@@ -582,6 +660,10 @@ class SearchEngine:
                 pli._finish_target(st.profs[pi], st.profs_uni[pi], sq,
                                    st.tophits[pi], fwd, nullsc_b)
                 continue
+            if out[0] == "gated_vit":
+                continue
+            if vit_gated_here:
+                pli.n_past_vit += 1
             if out[0] == "gated":
                 continue
             pli.n_past_fwd += 1

@@ -128,6 +128,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hmmdp_bias_filter_idx.argtypes = [
         _U8, _I64PP, _I64PP, _I32, _I32, _D, _D]
     lib.hmmdp_bias_filter_idx.restype = None
+    lib.hmmdp_viterbi.argtypes = [
+        _U8, _I32,
+        _D, _D, _D, _D, _D, _D, _D, _D,
+        _D, _D, _D, _D, _D, _D, _I32, _I32]
+    lib.hmmdp_viterbi.restype = ctypes.c_double
     _lib = lib
     return _lib
 
@@ -244,6 +249,29 @@ def fwdbck(prof, dsq: np.ndarray, keep_matrix: bool, backward: bool):
     if keep_matrix:
         return ref.MatrixResult(score, xN, xB, xE, xC, xJ, Mm, Im, Dm)
     return ref.ParserResult(score, xN, xB, xE, xC, xJ)
+
+
+def viterbi_score(prof, dsq: np.ndarray) -> Optional[float]:
+    """Native multihit Viterbi score in nats with the length model set
+    from ``len(dsq)`` (float-exact semantics of
+    ``ops.reference.viterbi_score`` on a length-reconfigured profile,
+    WITHOUT mutating the shared profile -- thread-safe).  None without
+    the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pt = get_tensors(prof)
+    L = int(len(dsq))
+    pmove = 3.0 / (L + 3.0)
+    ll, lm = np.log(1.0 - pmove), np.log(pmove)
+    xNJC = np.ascontiguousarray([ll, lm])
+    xE = np.ascontiguousarray([np.log(0.5), np.log(0.5)])
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    return lib.hmmdp_viterbi(
+        dsq8, L,
+        pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
+        pt.msc, pt.isc,
+        xE, xNJC, xNJC, xNJC, pt.M, pt.Kp)
 
 
 def optacc(prof, pp: dict, L: int):
