@@ -111,6 +111,26 @@ def _fetch_all(parts: List) -> List[np.ndarray]:
 import jax as _jax
 
 
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("R",))
+def _gather_survivors_strips(codes_t, lens_d, ridx, R):
+    """Like :func:`_gather_survivors` but returns strip-packed codes
+    ``[L/R, R*Bp]`` for the v2 Forward kernel."""
+    valid = ridx >= 0
+    r = jnp.maximum(ridx, 0)
+    ct = jnp.take(codes_t, r, axis=1)
+    L, Bp = ct.shape
+    strips = ct.reshape(L // R, R * Bp)
+    lens = jnp.where(valid, jnp.take(lens_d, r), 0).astype(jnp.int32)
+    Lf = jnp.maximum(lens.astype(jnp.float32), 1.0)
+    pmove = 3.0 / (Lf + 3.0)
+    lm = jnp.stack([1.0 - pmove, pmove,
+                    jnp.log1p(-pmove), jnp.log(pmove)])
+    return strips, lens.reshape(1, -1), lm
+
+
 @_jax.jit
 def _gather_survivors(codes_t, lens_d, ridx):
     """Device-side survivor gather for the Pallas kernels: one uploaded
@@ -280,11 +300,12 @@ class SearchEngine:
         on tunneled TPU setups and dominated stage time."""
         if self.use_pallas:
             from .ops import fwd_pallas as FP
-            codes_t, lens, lm = _gather_survivors(
-                dev.codes_t, dev.lens_d, ridx_dev)
-            t = FP.build_fwd_tensors(pb)
-            out = FP._fwd_pallas(lens, codes_t, t["ems"], t["eis"],
-                                 t["etr"], t["tdd"], lm)
+            t = FP.build_fwd_tensors2(pb)
+            R = FP._strip_r_fwd(t["Mp"], int(ridx_dev.shape[0]))
+            strips, lens, lm = _gather_survivors_strips(
+                dev.codes_t, dev.lens_d, ridx_dev, R)
+            out = FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
+                                  t["etr2"], t["sdd"], lm, R)
             return out, n
         from .ops.batch import _forward_kernel
         codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)
@@ -517,42 +538,32 @@ class SearchEngine:
                     continue
                 s2_jobs.append((ci, bi))
 
-        # -- stage 2 (device): Forward over bias survivors --
-        # (reordered vs the reference's MSV->bias->Vit->Fwd: the
+        # -- stage 2 (device + incremental host): Forward over bias
+        # survivors.  ALL Forward kernels are enqueued up front (device
+        # dispatch is async); results are then fetched one job at a time
+        # IN ENQUEUE ORDER, so while the host gates job j and feeds the
+        # domaindef worker pool, jobs j+1.. are still computing on the
+        # device -- the host postprocessing tail overlaps the device
+        # stage instead of starting after it.  (Cascade order note: the
         # odds-space Pallas Forward is cheaper per column than the
         # max-plus Viterbi with its DD prefix scan, so Forward runs on
         # the bias survivors and the strict-F2 Viterbi gate is applied
-        # afterwards only where P1b did not already skip it -- the
-        # gate predicates are independent, so the surviving set is
-        # identical to the reference order)
-        # one concatenated index upload for the whole stage (per-job
-        # uploads each pay a tunnel round trip)
+        # afterwards only where P1b did not already skip it -- the gate
+        # predicates are independent, so the surviving set is identical
+        # to the reference order.)
         s2_parts = []
-        ridx_chunks, offs = [], []
-        off = 0
         for cj, bi in s2_jobs:
             c = ctx[(cj, bi)]
             n = len(c["bsel"])
             Bp = max(128, _pad_b(n))
             ridx = np.full(Bp, -1, dtype=np.int32)
             ridx[:n] = c["bsel"]
-            ridx_chunks.append(ridx)
-            offs.append((off, Bp, n))
-            off += Bp
-        ridx_all = (jnp.asarray(np.concatenate(ridx_chunks))
-                    if ridx_chunks else None)
-        for j, (cj, bi) in enumerate(s2_jobs):
-            c = ctx[(cj, bi)]
-            dev = buckets.buckets[bi][3]
-            o, Bp, n = offs[j]
             fsc_dev, nsel = self._forward_dev(
-                states[cj].pb, dev, ridx_all[o: o + Bp], n)
+                states[cj].pb, buckets.buckets[bi][3],
+                jnp.asarray(ridx), n)
             c["nsel"] = nsel
             s2_parts.append(fsc_dev)
-        s2_np = _fetch_all(s2_parts)
 
-        # -- stage 2 (host): Forward gate; enqueue Viterbi leftovers;
-        # submit Viterbi-skipping survivors to the host pool right away --
         s3_jobs = []
         s3_parts = []
         for j, (cj, bi) in enumerate(s2_jobs):
@@ -561,7 +572,7 @@ class SearchEngine:
             Preal = st.Preal
             bsel, nsel = c["bsel"], c["nsel"]
             c["fcols"] = bsel
-            fsc = s2_np[j][:Preal, :nsel].astype(np.float64)
+            fsc = np.asarray(s2_parts[j])[:Preal, :nsel].astype(np.float64)
             P3 = exp_surv((fsc - c["filtersc"][:, bsel]) / LOG2,
                           st.ev[:, 4:5], st.ev[:, 5:6])
             # extra 1.5x device-side margin: the f32 device Forward
@@ -578,37 +589,25 @@ class SearchEngine:
                 pli.n_past_vit += int((c["pass2"][pi, bsel]
                                        & skip_vit[pi]).sum())
             if need_vit.any():
+                # enqueue the Viterbi kernel for this job immediately --
+                # it runs behind the remaining Forward kernels
                 vcols = np.where(need_vit.any(axis=0))[0]
                 c["vcols"] = vcols
+                rows = bsel[vcols]
+                n = len(rows)
+                Bp = max(128, _pad_b(n))
+                ridx = np.full(Bp, -1, dtype=np.int32)
+                ridx[:n] = rows
+                vsc_dev, nv = self._viterbi_dev(
+                    st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n)
+                c["nv"] = nv
                 s3_jobs.append((cj, bi))
+                s3_parts.append(vsc_dev)
             idx = buckets.buckets[bi][0]
             for pi in range(Preal):
                 _submit(cj, bi, pi, pass_fwd[pi] & ~need_vit[pi],
                         bsel, idx)
-        # single concatenated index upload for the Viterbi stage
-        ridx_chunks, offs = [], []
-        off = 0
-        for cj, bi in s3_jobs:
-            c = ctx[(cj, bi)]
-            rows = c["bsel"][c["vcols"]]
-            n = len(rows)
-            Bp = max(128, _pad_b(n))
-            ridx = np.full(Bp, -1, dtype=np.int32)
-            ridx[:n] = rows
-            ridx_chunks.append(ridx)
-            offs.append((off, Bp, n))
-            off += Bp
-        ridx_all = (jnp.asarray(np.concatenate(ridx_chunks))
-                    if ridx_chunks else None)
-        for j, (cj, bi) in enumerate(s3_jobs):
-            c = ctx[(cj, bi)]
-            dev = buckets.buckets[bi][3]
-            o, Bp, n = offs[j]
-            vsc_dev, nv = self._viterbi_dev(
-                states[cj].pb, dev, ridx_all[o: o + Bp], n)
-            c["nv"] = nv
-            s3_parts.append(vsc_dev)
-        s3_np = _fetch_all(s3_parts)
+        s3_np = [np.asarray(p_) for p_ in s3_parts]
 
         # -- stage 3 (host): Viterbi gate on the leftover columns --
         for j, (cj, bi) in enumerate(s3_jobs):

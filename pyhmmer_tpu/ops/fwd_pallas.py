@@ -238,3 +238,198 @@ def lm_rows(lengths: np.ndarray) -> np.ndarray:
     return np.stack([
         (1.0 - pmove), pmove, np.log(1.0 - pmove), np.log(pmove),
     ]).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: folded transition matmul + strip-hoisted emission gathers
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel pays three sequential MXU matmuls per sequence row (two
+# one-hot emission gathers + the DD-chain transfer) plus several VPU
+# reductions -- at ~0.6 us/row the scan is LATENCY-bound, not FLOP-bound.
+# v2 restructures the recurrence so the per-row critical path is ONE
+# matmul + elementwise work:
+#
+# * the match recurrence folds the M->M shift AND the full M->D..D->M
+#   delete-chain path into a single per-profile transfer matrix
+#     Amm[j, k] = [j == k-1] * eMM[k] + eDM[k] * Tdd[j, k-1]
+#   so  nm = ms * (Amm^T @ prev_nm + roll(prev_ni)*eIM + b*eBM)
+# * the E collection needs nd only through its sum, and
+#   sum_k nd[k] = sum_j (sum_k Tdd[j,k]) nm[j], so E = w_e . nm with the
+#   precomputed weight row w_e = 1 + Tdd.sum(axis=1)
+# * emission odds for R consecutive rows are gathered in ONE pair of
+#   matmuls from strip-packed codes [L/R, R*B] (same layout trick as the
+#   MSV kernel), taking the gathers off the per-row critical path
+#
+# The folded matmul runs at 3-pass bf16 (Precision.HIGH): relative error
+# ~1e-6 per step, orders of magnitude inside the engine's device-gate
+# margin (the exact float64 rescore happens on the host regardless).
+
+def _strip_r_fwd(Mp: int, B: int) -> int:
+    r = 32
+    while r > 1 and Mp * r * B * 4 * 2 > (4 << 20):
+        r //= 2
+    return r
+
+
+def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
+               lm_ref, out_ref, mrow, irow, spec, emstrip, eistrip, *, R):
+    """grid (P,): one profile x the full lane-padded survivor batch.
+
+    Per-row critical path: the DD-path matmul consumes the PREVIOUS row's
+    match vector (ready at iteration start, so Mosaic can overlap it with
+    the previous row's tail ops); the M->M/I->M/B->M paths stay exact
+    f32 elementwise; E collection is one weighted reduction; the N chain
+    runs in linear odds (no per-row exp)."""
+    nS, RB = codes_ref.shape
+    Bt = RB // R
+    Mp = ems_ref.shape[1]
+
+    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, RB), 0)
+
+    eMMs = etr_ref[0, :, 0:1]
+    eIMs = etr_ref[0, :, 1:2]
+    eBMs = etr_ref[0, :, 3:4]
+    eMIa = etr_ref[0, :, 4:5]
+    eIIa = etr_ref[0, :, 5:6]
+    w_e = etr_ref[0, :, 6:7]        # 1 + Tdd.sum(axis=1)
+
+    loop_o = lm_ref[0:1, :]
+    move_o = lm_ref[1:2, :]
+    log_move = lm_ref[3:4, :]
+    eE0 = jnp.float32(0.5)
+    eE1 = jnp.float32(0.5)
+    sdd = sdd_ref[0]
+
+    mrow[...] = jnp.zeros((Mp, Bt), jnp.float32)
+    irow[...] = jnp.zeros((Mp, Bt), jnp.float32)
+    # spec rows: 0=j 1=c 2=b 3=logscale 4=n (linear, same rescale as j/c)
+    spec[...] = jnp.zeros((8, Bt), jnp.float32)
+    spec[2:3, :] = move_o
+    spec[4:5, :] = jnp.ones((1, Bt), jnp.float32)
+
+    def strip(s, _):
+        codes_row = codes_ref[pl.ds(s, 1), :]                  # [1, R*Bt]
+        onehot = (kcode == codes_row).astype(jnp.float32)      # [KP, R*Bt]
+        emstrip[...] = jax.lax.dot_general(
+            ems_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)               # [Mp, R*Bt]
+        eistrip[...] = jax.lax.dot_general(
+            eis_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        for r in range(R):
+            ms = emstrip[:, r * Bt:(r + 1) * Bt]
+            is_ = eistrip[:, r * Bt:(r + 1) * Bt]
+            j_ = spec[0:1, :]
+            c_ = spec[1:2, :]
+            b_ = spec[2:3, :]
+            logscale = spec[3:4, :]
+            n_ = spec[4:5, :]
+
+            prev_m = mrow[...]
+            prev_i = irow[...]
+            ddp = jax.lax.dot_general(
+                sdd, prev_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)           # [Mp, Bt]
+            rm = pltpu.roll(prev_m, 1, 0)
+            ri = pltpu.roll(prev_i, 1, 0)
+            nm = ms * (rm * eMMs + ri * eIMs + ddp + b_ * eBMs)
+            ni = is_ * (prev_m * eMIa + prev_i * eIIa)
+            e = jnp.sum(nm * w_e, axis=0, keepdims=True)       # [1, Bt]
+            nj = j_ * loop_o + e * eE0
+            nc = c_ * loop_o + e * eE1
+            nn = n_ * loop_o
+            nb = (nn + nj) * move_o
+
+            mx = jnp.maximum(jnp.max(nm, axis=0, keepdims=True),
+                             jnp.maximum(nj, nc))
+            mx = jnp.maximum(mx, TINY)
+            i = s * R + r
+            valid = (lens_ref[0:1, :] > i)
+            inv = jnp.where(valid, 1.0 / mx, 1.0)
+            nscale = jnp.where(valid, logscale + jnp.log(mx), logscale)
+
+            spec[0:1, :] = jnp.where(valid, nj * inv, j_)
+            spec[1:2, :] = jnp.where(valid, nc * inv, c_)
+            spec[2:3, :] = jnp.where(valid, nb * inv, b_)
+            spec[3:4, :] = nscale
+            spec[4:5, :] = jnp.where(valid, nn * inv, n_)
+            mrow[...] = nm * inv
+            irow[...] = ni * inv
+        return 0
+
+    jax.lax.fori_loop(0, nS, strip, 0)
+    c_ = spec[1:2, :]
+    score = jnp.where(c_ > 0.0,
+                      jnp.log(jnp.maximum(c_, TINY)) + spec[3:4, :]
+                      + log_move,
+                      NEGMASS)
+    out_ref[...] = score[None]
+
+
+@partial(jax.jit, static_argnames=("R",))
+def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R):
+    """lens [1, B] i32; codes_strips [L/R, R*B] i32; ems/eis
+    [P, Mp, KP_PAD] f32; etr [P, Mp, 8] f32 (slot 6 = w_e); sdd
+    [P, Mp, Mp] f32 (pre-shifted eDM-scaled DD transfer); lm [4, B] f32.
+    Returns scores [P, B] f32 nats."""
+    P, Mp, _ = ems.shape
+    nS, RB = codes_strips.shape
+    B = RB // R
+    out = pl.pallas_call(
+        partial(_fwd2_body, R=R),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, B), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nS, RB), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 8), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, Mp), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, B), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, B), jnp.float32),
+            pltpu.VMEM((Mp, B), jnp.float32),
+            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((Mp, R * B), jnp.float32),
+            pltpu.VMEM((Mp, R * B), jnp.float32),
+        ],
+    )(lens, codes_strips, ems, eis, etr, sdd, lm)
+    return out[:, 0, :]
+
+
+def build_fwd_tensors2(pb) -> dict:
+    """v2 tensors: v1 tensors + the pre-shifted eDM-scaled DD transfer
+    matrix Sdd[j, k] = eDM[k] * Tdd[j, k-1] (so the per-row DD-path
+    matmul consumes the PREVIOUS row's match vector) and the E-collection
+    weight row w_e = 1 + Tdd.sum(axis=1) (etr slot 6)."""
+    if "fwdp2" in pb._device_cache:
+        return pb._device_cache["fwdp2"]
+    t1 = build_fwd_tensors(pb)
+    P, Mp = pb.P, t1["Mp"]
+    etr = np.asarray(t1["etr"]).copy()
+    tdd = np.asarray(t1["tdd"])
+    sdd = np.zeros((P, Mp, Mp), np.float32)
+    for i in range(P):
+        eDM = etr[i, :, 2]
+        sdd[i, :, 1:] = eDM[None, 1:] * tdd[i, :, : Mp - 1]
+        etr[i, :, 6] = 1.0 + tdd[i].sum(axis=1)
+    out = dict(t1)
+    out["etr2"] = jnp.asarray(etr)
+    out["sdd"] = jnp.asarray(sdd)
+    pb._device_cache["fwdp2"] = out
+    return out
