@@ -240,11 +240,21 @@ class Pipeline:
         if res.nregions == 0 or len(res.domains) == 0:
             return None
 
+        # scalar helpers (the numpy ufuncs cost ~10us per scalar call,
+        # which dominated hit construction)
+        def _lse0(a):
+            # log(1 + e^a)
+            return math.log1p(math.exp(a)) if a < 30.0 else a
+
+        def _elogsurv(x, tau, lam):
+            return 0.0 if x < tau else -lam * (x - tau)
+
         # 6. per-sequence scores with null2 correction
         omega = bg.omega
+        log_omega = math.log(omega)
         if self.null2:
             seqbias = float(res.n2sc[1:].sum())
-            seqbias = np.logaddexp(0.0, math.log(omega) + seqbias)
+            seqbias = _lse0(log_omega + seqbias)
         else:
             seqbias = 0.0
         pre_score = (fwdsc - nullsc) / LOG2
@@ -266,7 +276,7 @@ class Pipeline:
                     Ld_total += d.jenv - d.ienv + 1
         sum_score += (L - Ld_total) * math.log(L / (L + 3.0))
         if self.null2:
-            sum_bias = np.logaddexp(0.0, math.log(omega) + sum_bias)
+            sum_bias = _lse0(log_omega + sum_bias)
         else:
             sum_bias = 0.0
         pre2_score = (sum_score - nullsc) / LOG2
@@ -275,7 +285,7 @@ class Pipeline:
             seq_score = sum_score
             pre_score = pre2_score
 
-        lnP = float(exp_logsurv(seq_score, ev[4], ev[5]))
+        lnP = _elogsurv(seq_score, ev[4], ev[5])
 
         # in scan mode the "target" is the model (p7_pipeline scan path)
         if self._mode == "scan":
@@ -292,13 +302,14 @@ class Pipeline:
                   nenvelopes=res.nenvelopes)
 
         best_idx, best_sc = 0, -np.inf
+        log_l_l3 = math.log(L / (L + 3.0))
         for di, d in enumerate(res.domains):
             Ld = d.jenv - d.ienv + 1
-            bitsc = d.envsc + (L - Ld) * math.log(L / (L + 3.0))
-            dombias = (np.logaddexp(0.0, math.log(omega) + d.domcorrection)
+            bitsc = d.envsc + (L - Ld) * log_l_l3
+            dombias = (_lse0(log_omega + d.domcorrection)
                        if self.null2 else 0.0)
             bitsc = (bitsc - (nullsc + dombias)) / LOG2
-            dlnP = float(exp_logsurv(bitsc, ev[4], ev[5]))
+            dlnP = _elogsurv(bitsc, ev[4], ev[5])
             ali = self._make_alignment(prof, sq, d)
             dom = Domain(hit, d.ienv, d.jenv, d.iali, d.jali,
                          score=float(bitsc), bias=float(dombias),
