@@ -538,19 +538,18 @@ class SearchEngine:
                     continue
                 s2_jobs.append((ci, bi))
 
-        # -- stage 2 (device + incremental host): Forward over bias
-        # survivors.  ALL Forward kernels are enqueued up front (device
-        # dispatch is async); results are then fetched one job at a time
-        # IN ENQUEUE ORDER, so while the host gates job j and feeds the
-        # domaindef worker pool, jobs j+1.. are still computing on the
-        # device -- the host postprocessing tail overlaps the device
-        # stage instead of starting after it.  (Cascade order note: the
-        # odds-space Pallas Forward is cheaper per column than the
-        # max-plus Viterbi with its DD prefix scan, so Forward runs on
-        # the bias survivors and the strict-F2 Viterbi gate is applied
-        # afterwards only where P1b did not already skip it -- the gate
-        # predicates are independent, so the surviving set is identical
-        # to the reference order.)
+        # -- stage 2 (device): Forward over bias survivors --
+        # Fetch economics (measured): one device->host fetch on the
+        # tunneled TPU costs ~26 ms of round-trip latency REGARDLESS of
+        # size, while the enqueued kernels themselves run in ~0.05-2 ms.
+        # So all Forward kernels are enqueued back to back and the whole
+        # stage comes back in ONE concatenated fetch.  (Cascade order
+        # note: the odds-space Pallas Forward is cheaper per column than
+        # the max-plus Viterbi with its DD prefix scan, so Forward runs
+        # on the bias survivors and the strict-F2 Viterbi gate is
+        # applied afterwards only where P1b did not already skip it --
+        # the gate predicates are independent, so the surviving set is
+        # identical to the reference order.)
         s2_parts = []
         for cj, bi in s2_jobs:
             c = ctx[(cj, bi)]
@@ -563,6 +562,7 @@ class SearchEngine:
                 jnp.asarray(ridx), n)
             c["nsel"] = nsel
             s2_parts.append(fsc_dev)
+        s2_np = _fetch_all(s2_parts)
 
         s3_jobs = []
         s3_parts = []
@@ -572,7 +572,7 @@ class SearchEngine:
             Preal = st.Preal
             bsel, nsel = c["bsel"], c["nsel"]
             c["fcols"] = bsel
-            fsc = np.asarray(s2_parts[j])[:Preal, :nsel].astype(np.float64)
+            fsc = s2_np[j][:Preal, :nsel].astype(np.float64)
             P3 = exp_surv((fsc - c["filtersc"][:, bsel]) / LOG2,
                           st.ev[:, 4:5], st.ev[:, 5:6])
             # extra 1.5x device-side margin: the f32 device Forward
@@ -589,8 +589,7 @@ class SearchEngine:
                 pli.n_past_vit += int((c["pass2"][pi, bsel]
                                        & skip_vit[pi]).sum())
             if need_vit.any():
-                # enqueue the Viterbi kernel for this job immediately --
-                # it runs behind the remaining Forward kernels
+                # enqueue the Viterbi kernel for this job immediately
                 vcols = np.where(need_vit.any(axis=0))[0]
                 c["vcols"] = vcols
                 rows = bsel[vcols]
@@ -607,7 +606,7 @@ class SearchEngine:
             for pi in range(Preal):
                 _submit(cj, bi, pi, pass_fwd[pi] & ~need_vit[pi],
                         bsel, idx)
-        s3_np = [np.asarray(p_) for p_ in s3_parts]
+        s3_np = _fetch_all(s3_parts)
 
         # -- stage 3 (host): Viterbi gate on the leftover columns --
         for j, (cj, bi) in enumerate(s3_jobs):
