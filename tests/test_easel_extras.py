@@ -158,3 +158,57 @@ class TestRandomness:
         r.random()
         c = pickle.loads(pickle.dumps(r))
         assert r.random() == c.random()
+
+
+# --- MSA subset/annotation methods (reference easel.pyx:5226-6431) --------
+
+def test_msa_mark_fragments():
+    from pyhmmer_tpu.easel import TextSequence, TextMSA
+    s1 = TextSequence(name=b"seq1", sequence="--ATGC---")
+    s2 = TextSequence(name=b"seq2", sequence="TTATCCG-T")
+    s3 = TextSequence(name=b"seq3", sequence="TT-TCCGAT")
+    msa = TextMSA(name=b"msa", sequences=[s1, s2, s3])
+    bits = msa.mark_fragments(0.5)
+    assert list(bits) == [True, False, False]
+
+
+def test_msa_select_rows_cols():
+    from pyhmmer_tpu.easel import Alphabet, TextSequence, TextMSA
+    s1 = TextSequence(name=b"a", sequence="ACGT")
+    s2 = TextSequence(name=b"b", sequence="A-GT")
+    s3 = TextSequence(name=b"c", sequence="AC-T")
+    msa = TextMSA(name=b"m", sequences=[s1, s2, s3])
+    sub = msa.select(sequences=[0, 2], columns=[0, 3])
+    assert sub.names == [b"a", b"c"]
+    assert sub.rows == ["AT", "AT"]
+    d = msa.digitize(Alphabet.dna())
+    dsub = d.select(sequences=[1])
+    assert dsub.names == [b"b"]
+    assert dsub.codes.shape == (1, 4)
+
+
+def test_msa_reverse_complement_and_sample():
+    from pyhmmer_tpu.easel import Alphabet, TextSequence, TextMSA, DigitalMSA
+    ab = Alphabet.dna()
+    msa = TextMSA(name=b"m", sequences=[
+        TextSequence(name=b"a", sequence="--ATGC---")]).digitize(ab)
+    rc = msa.reverse_complement()
+    assert rc.textize().rows[0] == "---GCAT--"
+    msa.reverse_complement(inplace=True)
+    assert msa.textize().rows[0] == "---GCAT--"
+    m = DigitalMSA.sample(ab, 4, 12)
+    assert 1 <= len(m.names) <= 4
+    assert m.codes.shape[0] == len(m.names)
+
+
+def test_sequencefile_readinto(data_dir):
+    from pyhmmer_tpu.easel import SequenceFile, TextSequence
+    path = data_dir / "seqs" / "938293.PRJEB85.HG003687.faa"
+    with SequenceFile(str(path)) as f:
+        first = f.read()
+    with SequenceFile(str(path)) as f:
+        buf = TextSequence(name=b"")
+        out = f.readinto(buf)
+        assert out is buf
+        assert buf.name == first.name
+        assert buf.sequence == first.sequence
