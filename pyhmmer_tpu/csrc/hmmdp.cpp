@@ -32,6 +32,8 @@ inline double xlog(double a, double sc) {
 // per domaindef/forward call.
 struct ExpCore {
     double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
+    double *eDD2, *eDD4;        // 2- and 4-step DD chain products (fwd)
+    double *eDD2r, *eDD4r;      // reverse-chain products (backward)
     double *ems, *eis;          // [Kp * (M+1)] odds
     int M, Kp;
 
@@ -54,16 +56,33 @@ struct ExpCore {
         for (size_t i = 0; i < (size_t)Kp * W; i++) {
             ems[i] = xexp(msc[i]); eis[i] = xexp(isc[i]);
         }
+        eDD2 = new double[W](); eDD4 = new double[W]();
+        for (int k = 2; k <= M; k++) {
+            // forward chain-step products ENDING at nd[k]: d[k] = eDD[k-1]
+            eDD2[k] = (k >= 2) ? eDD[k - 1] * eDD[k - 2] : 0.0;
+            eDD4[k] = (k >= 4)
+                ? eDD[k - 1] * eDD[k - 2] * eDD[k - 3] * eDD[k - 4] : 0.0;
+        }
+        eDD2r = new double[W](); eDD4r = new double[W]();
+        for (int k = 1; k <= M; k++) {
+            // backward chain-step products: step into nd[k] is eDD[k]
+            eDD2r[k] = (k + 1 <= M - 1) ? eDD[k] * eDD[k + 1] : 0.0;
+            eDD4r[k] = (k + 3 <= M - 1)
+                ? eDD[k] * eDD[k + 1] * eDD[k + 2] * eDD[k + 3] : 0.0;
+        }
     }
     ~ExpCore() {
         delete[] eBM; delete[] eMM; delete[] eIM; delete[] eDM;
         delete[] eMD; delete[] eDD; delete[] eMI; delete[] eII;
+        delete[] eDD2; delete[] eDD4;
+        delete[] eDD2r; delete[] eDD4r;
         delete[] ems; delete[] eis;
     }
 };
 
 struct ExpProf {
     const double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
+    const double *eDD2, *eDD4, *eDD2r, *eDD4r;
     const double *ems, *eis;    // borrowed from core (owned or cached)
     double eE[2], eN[2], eJ[2], eC[2];
     int M, Kp;
@@ -84,6 +103,8 @@ struct ExpProf {
         eBM = core->eBM; eMM = core->eMM; eIM = core->eIM;
         eDM = core->eDM; eMD = core->eMD; eDD = core->eDD;
         eMI = core->eMI; eII = core->eII;
+        eDD2 = core->eDD2; eDD4 = core->eDD4;
+        eDD2r = core->eDD2r; eDD4r = core->eDD4r;
         ems = core->ems; eis = core->eis;
         for (int j = 0; j < 2; j++) {
             eE[j] = xexp(xE[j]); eN[j] = xexp(xN[j]);
@@ -157,6 +178,7 @@ static double fwd_row_core(
     const double* __restrict__ eDM, const double* __restrict__ eBM,
     const double* __restrict__ eMI, const double* __restrict__ eII,
     const double* __restrict__ eMD, const double* __restrict__ eDD,
+    const double* __restrict__ eDD2, const double* __restrict__ eDD4,
     const double* __restrict__ mrow, const double* __restrict__ irow,
     const double* __restrict__ drow, double bprev,
     double* __restrict__ nm, double* __restrict__ ni,
@@ -172,8 +194,26 @@ static double fwd_row_core(
         ni[k] = is[k] * (mrow[k] * eMI[k] + irow[k] * eII[k]);
     for (int k = std::max(M, 1); k <= M; k++) ni[k] = 0.0;
     if (M >= 1) nd[1] = 0.0;
-    for (int k = 2; k <= M; k++)
-        nd[k] = nm[k - 1] * eMD[k - 1] + nd[k - 1] * eDD[k - 1];
+    if (M <= 8) {
+        for (int k = 2; k <= M; k++)
+            nd[k] = nm[k - 1] * eMD[k - 1] + nd[k - 1] * eDD[k - 1];
+    } else {
+        // 4-way unrolled first-order chain: two vector doubling passes,
+        // then a serial pass with dependency distance 4 (the sequential
+        // FMA chain's ~4.5-cycle latency otherwise dominates the row).
+        // a[k] = nm[k-1]*eMD[k-1]; chain step into nd[k] is eDD[k-1]
+        for (int k = 2; k <= M; k++) nd[k] = nm[k - 1] * eMD[k - 1];
+        // pass 1 (desc): b[k] = a[k] + a[k-1]*d[k]
+        for (int k = M; k >= 3; k--)
+            nd[k] += nd[k - 1] * eDD[k - 1];
+        // pass 2 (desc): c[k] = b[k] + b[k-2]*d2[k]
+        for (int k = M; k >= 4; k--)
+            nd[k] += nd[k - 2] * eDD2[k];
+        // serial (asc): nd[k] = c[k] + nd[k-4]*d4[k] -- 4 interleaved
+        // chains the CPU pipelines concurrently
+        for (int k = 5; k <= M; k++)
+            nd[k] += nd[k - 4] * eDD4[k];
+    }
     double e = 0.0;
     for (int k = 1; k <= M; k++) e += nm[k];
     for (int k = 1; k <= M; k++) e += nd[k];
@@ -198,6 +238,7 @@ static void bck_row_core(
     const double* __restrict__ eDM,
     const double* __restrict__ eMI, const double* __restrict__ eII,
     const double* __restrict__ eMD, const double* __restrict__ eDD,
+    const double* __restrict__ eDD2r, const double* __restrict__ eDD4r,
     const double* __restrict__ mrow, const double* __restrict__ irow,
     double e_,
     double* __restrict__ nm, double* __restrict__ ni,
@@ -209,9 +250,21 @@ static void bck_row_core(
     for (int k = std::max(M, 1); k <= M; k++) ni[k] = 0.0;
     nd[0] = 0.0;
     if (M >= 1) nd[M] = e_;
-    for (int k = M - 1; k >= 1; k--)
-        nd[k] = e_ + mrow[k + 1] * eDM[k] * ms[k + 1]
-                + nd[k + 1] * eDD[k];
+    if (M <= 8) {
+        for (int k = M - 1; k >= 1; k--)
+            nd[k] = e_ + mrow[k + 1] * eDM[k] * ms[k + 1]
+                    + nd[k + 1] * eDD[k];
+    } else {
+        // 4-way unrolled reverse chain (see fwd_row_core)
+        for (int k = M - 1; k >= 1; k--)
+            nd[k] = e_ + mrow[k + 1] * eDM[k] * ms[k + 1];
+        for (int k = 1; k <= M - 1; k++)
+            nd[k] += nd[k + 1] * eDD[k];
+        for (int k = 1; k <= M - 2; k++)
+            nd[k] += nd[k + 2] * eDD2r[k];
+        for (int k = M - 4; k >= 1; k--)
+            nd[k] += nd[k + 4] * eDD4r[k];
+    }
     nm[0] = 0.0;
     for (int k = 1; k <= M; k++) nm[k] = e_;
     for (int k = 1; k < M; k++)
@@ -266,6 +319,7 @@ double fwd_impl(
         const double* is = P.eis + (size_t)dsq[i - 1] * W;
         double e = fwd_row_core(M, ms, is, P.eMM, P.eIM, P.eDM, P.eBM,
                                 P.eMI, P.eII, P.eMD, P.eDD,
+                                P.eDD2, P.eDD4,
                                 mrow, irow, drow, b_, nm, ni, nd);
         j_ = j_ * P.eJ[0] + e * P.eE[0];
         c_ = c_ * P.eC[0] + e * P.eE[1];
@@ -386,6 +440,7 @@ double bck_impl(
 
         bck_row_core(M, ms, is, P.eMM, P.eIM, P.eDM,
                      P.eMI, P.eII, P.eMD, P.eDD,
+                     P.eDD2r, P.eDD4r,
                      mrow, irow, e_, nm, ni, nd);
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
         if (keep == 1) {
