@@ -139,6 +139,29 @@ class Alphabet:
         return self.K
 
     @property
+    def gap_index(self) -> int:
+        """`int`: the gap code (reference ``Alphabet.gap_index``,
+        ``easel.pyx:382``)."""
+        return self.K
+
+    @property
+    def gap_symbol(self) -> str:
+        """`str`: the gap character (reference ``Alphabet.gap_symbol``)."""
+        return self.symbols[self.K]
+
+    def is_dna(self) -> bool:
+        """Whether this is the DNA alphabet (eslDNA=2)."""
+        return self.type == 2
+
+    def is_rna(self) -> bool:
+        """Whether this is the RNA alphabet (eslRNA=1)."""
+        return self.type == 1
+
+    def is_nucleotide(self) -> bool:
+        """Whether this is a nucleotide alphabet (DNA or RNA)."""
+        return self.type in (1, 2)
+
+    @property
     def nonresidue_code(self) -> int:
         return self.Kp - 2
 

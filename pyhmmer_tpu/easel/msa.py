@@ -52,6 +52,61 @@ class MSA:
     def nsequences(self) -> int:
         return len(self.names)
 
+    @property
+    def sequence_weights(self) -> Optional[np.ndarray]:
+        """Per-sequence alignment weights (reference
+        ``MSA.sequence_weights``, ``easel.pyx:5087``); None = default
+        uniform weights."""
+        return self.weights
+
+    @sequence_weights.setter
+    def sequence_weights(self, w) -> None:
+        w = np.asarray(w, dtype=np.float64)
+        if len(w) != len(self.names):
+            raise ValueError("weight vector length mismatch")
+        self.weights = w
+
+    # GR/GC annotation aliases matching the reference property names
+    @property
+    def secondary_structure(self) -> Optional[bytes]:
+        return self.consensus_structure
+
+    @secondary_structure.setter
+    def secondary_structure(self, v) -> None:
+        self.consensus_structure = v
+
+    @property
+    def posterior_probabilities(self) -> Optional[bytes]:
+        return getattr(self, "_pp_cons", None)
+
+    @posterior_probabilities.setter
+    def posterior_probabilities(self, v) -> None:
+        self._pp_cons = v
+
+    @property
+    def surface_accessibility(self) -> Optional[bytes]:
+        return getattr(self, "_sa_cons", None)
+
+    @surface_accessibility.setter
+    def surface_accessibility(self, v) -> None:
+        self._sa_cons = v
+
+    @property
+    def indexed(self) -> bool:
+        """Whether a name index is built (lazy in this implementation)."""
+        return getattr(self, "_indexed", None) is not None
+
+    def compute_weights(self) -> np.ndarray:
+        """Position-based sequence weights (``esl_msaweight_PB``);
+        stores and returns the weight vector."""
+        from ..plan7.builder import _pb_weights
+        codes, K, gap = self._pb_inputs()
+        self.weights = _pb_weights(codes, K, gap)
+        return self.weights
+
+    def _pb_inputs(self):
+        raise NotImplementedError
+
     # -- residue/gap predicate implemented by subclasses --------------------
 
     def _residue_mask(self) -> np.ndarray:
@@ -127,6 +182,25 @@ class TextMSA(MSA):
     @property
     def alignment_length(self) -> int:
         return len(self.rows[0]) if self.rows else 0
+
+    @property
+    def alignment(self):
+        """Tuple of aligned row strings (reference ``TextMSA.alignment``,
+        ``easel.pyx:5686``)."""
+        return tuple(self.rows)
+
+    @property
+    def sequences(self):
+        """List of `TextSequence` views over the aligned rows."""
+        return [TextSequence(name=n, sequence=r)
+                for n, r in zip(self.names, self.rows)]
+
+    def _pb_inputs(self):
+        ab = Alphabet.amino()   # weights only need residue/gap classes
+        arr = np.stack([ab.encode(
+            "".join(c if c.isalpha() else "-" for c in r).upper())
+            for r in self.rows]) if self.rows else np.zeros((0, 0), np.uint8)
+        return arr, ab.K, ab.gap_code
 
     def _residue_mask(self) -> np.ndarray:
         # in a TextMSA any alphanumeric char is a residue
@@ -209,6 +283,21 @@ class DigitalMSA(MSA):
     @property
     def alignment_length(self) -> int:
         return self.codes.shape[1]
+
+    @property
+    def alignment(self):
+        """Tuple of aligned row strings (decoded)."""
+        return tuple(self.alphabet.decode(r) for r in self.codes)
+
+    @property
+    def sequences(self):
+        """List of `DigitalSequence` views over the aligned rows
+        (gaps included, like the reference's ``DigitalMSASequences``)."""
+        return [DigitalSequence(self.alphabet, name=n, sequence=row.copy())
+                for n, row in zip(self.names, self.codes)]
+
+    def _pb_inputs(self):
+        return self.codes, self.alphabet.K, self.alphabet.gap_code
 
     def _residue_mask(self) -> np.ndarray:
         # residues are core or degenerate codes (not gap/nonres/missing)
@@ -323,8 +412,3 @@ class DigitalMSA(MSA):
             setattr(out, attr, getattr(self, attr))
         return out
 
-    def compute_weights(self) -> None:
-        """Position-based sequence weights (``esl_msaweight_PB``)."""
-        from ..plan7.builder import _pb_weights
-        self.weights = _pb_weights(self.codes, self.alphabet.K,
-                                   self.alphabet.gap_code)

@@ -27,7 +27,8 @@ __all__ = [
 class Sequence:
     """Abstract base: named sequence with metadata."""
 
-    __slots__ = ("name", "description", "accession", "source", "taxonomy_id")
+    __slots__ = ("name", "description", "accession", "source",
+                 "taxonomy_id", "_residue_markups")
 
     def __init__(
         self,
@@ -42,9 +43,49 @@ class Sequence:
         self.accession = bytes(accession)
         self.source = bytes(source)
         self.taxonomy_id = taxonomy_id
+        self._residue_markups: dict = {}
 
     def __len__(self) -> int:
         raise NotImplementedError
+
+    @property
+    def residue_markups(self) -> dict:
+        """`dict`: extra per-residue markup lines (reference
+        ``Sequence.residue_markups``, ``easel.pyx:7276``)."""
+        return self._residue_markups
+
+    @residue_markups.setter
+    def residue_markups(self, xr: dict) -> None:
+        n = len(self)
+        for tag, val in xr.items():
+            if len(val) != n:
+                raise ValueError(
+                    f"residue markup {tag!r} has length {len(val)}, "
+                    f"expected {n}")
+        self._residue_markups = dict(xr)
+
+    def checksum(self) -> int:
+        """A 32-bit checksum of the residues (CRC-based; stable across
+        text/digital forms of the same sequence)."""
+        import zlib
+        if isinstance(getattr(self, "sequence", None), str):
+            data = self.sequence.upper().encode("ascii")
+        else:
+            data = np.ascontiguousarray(self.sequence).tobytes()
+        return zlib.crc32(data) & 0xFFFFFFFF
+
+    def clear(self) -> None:
+        """Reinitialize the sequence (``esl_sq_Reuse`` semantics)."""
+        self.name = b""
+        self.description = b""
+        self.accession = b""
+        self.source = b""
+        self.taxonomy_id = None
+        self._residue_markups = {}
+        if isinstance(getattr(self, "sequence", None), str):
+            self.sequence = ""
+        elif getattr(self, "sequence", None) is not None:
+            self.sequence = np.zeros(0, dtype=np.uint8)
 
     def write(self, fh) -> None:
         """Write the sequence to a binary file handle in FASTA format
@@ -110,6 +151,14 @@ class TextSequence(Sequence):
             return self
         return TextSequence(sequence=rc, **self._meta())
 
+    @classmethod
+    def sample(cls, alphabet: Alphabet, max_length: int,
+               randomness=None) -> "TextSequence":
+        """Sample a random sequence of length at most ``max_length``
+        (reference ``TextSequence.sample``, ``easel.pyx:7438``)."""
+        return DigitalSequence.sample(
+            alphabet, max_length, randomness).textize()
+
 
 class DigitalSequence(Sequence):
     """A digitally-encoded sequence: uint8 codes, *no* sentinels.
@@ -166,6 +215,18 @@ class DigitalSequence(Sequence):
         from .gencode import GeneticCode
         gc = genetic_code or GeneticCode(nucleotide_alphabet=self.alphabet)
         return gc.translate_sequence(self)
+
+    @classmethod
+    def sample(cls, alphabet: Alphabet, max_length: int,
+               randomness=None) -> "DigitalSequence":
+        """Sample a random digital sequence of length at most
+        ``max_length`` (reference ``DigitalSequence.sample``)."""
+        from .random import Randomness
+        if randomness is None or isinstance(randomness, int):
+            randomness = Randomness(randomness or 0)
+        n = 1 + randomness._rng.randint(0, max(1, max_length))
+        codes = randomness._rng.randint(0, alphabet.K, n).astype(np.uint8)
+        return cls(alphabet, name=b"random", sequence=codes)
 
 
 class SequenceBlock:
@@ -237,6 +298,29 @@ class SequenceBlock:
 
     def __repr__(self) -> str:
         return f"<{type(self).__name__} of {len(self)} sequences>"
+
+    def copy(self) -> "SequenceBlock":
+        """A shallow copy of the block (reference
+        ``SequenceBlock.copy``, ``easel.pyx:8401``)."""
+        return type(self)._from_list(list(self._seqs), *self._slice_args())
+
+    def write(self, fh) -> None:
+        """Write every sequence to a binary file handle in FASTA format."""
+        for s in self._seqs:
+            s.write(fh)
+
+    @property
+    def indexed(self) -> bool:
+        """`bool`: whether a name index is currently built for the block
+        (the reference keeps a lazy `KeyHash`; ours builds on demand)."""
+        return getattr(self, "_indexed", None) is not None
+
+    def _name_index(self):
+        idx = getattr(self, "_indexed", None)
+        if idx is None:
+            idx = {s.name: i for i, s in enumerate(self._seqs)}
+            self._indexed = idx
+        return idx
 
 
 class TextSequenceBlock(SequenceBlock):

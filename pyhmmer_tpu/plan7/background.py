@@ -50,6 +50,19 @@ class Background:
         self.L = L
         self.p1 = float(L) / float(L + 1)
 
+    @property
+    def transition_probability(self) -> float:
+        r"""`float`: the null1 transition probability :math:`\frac{L}{L+1}`
+        (reference ``Background.transition_probability``,
+        ``plan7.pyx:517``)."""
+        return self.p1
+
+    def null1(self, sequence) -> float:
+        """The null1 lod score of a sequence, in nats (reference
+        ``Background.null1``, ``plan7.pyx:562``: emissions cancel in odds
+        space, leaving the geometric length model)."""
+        return self.null_one(len(sequence))
+
     def null_one(self, L: int) -> float:
         """The null1 score for a sequence of length ``L``, in nats
         (``p7_bg_NullOne``: emissions cancel against the profile's odds

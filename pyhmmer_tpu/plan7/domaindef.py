@@ -66,6 +66,104 @@ class Trace:
     def offset_i(self, delta: int):
         self.i = [i + delta if i > 0 else 0 for i in self.i]
 
+    # --- reference API (plan7.pyx:8968-9432) -------------------------------
+
+    @property
+    def M(self) -> int:
+        """Model length spanned by the trace (max node index)."""
+        return max(self.k, default=0)
+
+    @property
+    def L(self) -> int:
+        """Sequence length spanned by the trace (max residue index)."""
+        return max(self.i, default=0)
+
+    @property
+    def posterior_probabilities(self):
+        """Posterior probability of each trace position (None if the
+        trace carries no posteriors)."""
+        return list(self.pp) if self.pp else None
+
+    def expected_accuracy(self) -> float:
+        """Sum of residue posteriors over emitting states
+        (``p7_trace_GetExpectedAccuracy``)."""
+        return float(sum(
+            p for s, p in zip(self.states, self.pp) if s in "MI"))
+
+    def score(self, sequence, profile) -> float:
+        """Score the trace path against a profile, in nats
+        (``p7_trace_Score`` semantics on the configured profile)."""
+        import numpy as np
+        dsq = sequence.sequence
+        msc = profile.msc
+        isc = profile.isc
+        t = dict(MM=profile.tMM, MI=profile.tMI, MD=profile.tMD,
+                 IM=profile.tIM, II=profile.tII, DM=profile.tDM,
+                 DD=profile.tDD, BM=profile.tBM)
+        xE = np.where(np.isfinite(profile.xE), profile.xE, -1e30)
+        xN = np.where(np.isfinite(profile.xN), profile.xN, -1e30)
+        xJ = np.where(np.isfinite(profile.xJ), profile.xJ, -1e30)
+        xC = np.where(np.isfinite(profile.xC), profile.xC, -1e30)
+        sc = 0.0
+        prev = None
+        for z, (s, k, i) in enumerate(zip(self.states, self.k, self.i)):
+            if s == "M" and i > 0:
+                sc += float(msc[dsq[i - 1], k])
+            elif s == "I" and i > 0:
+                sc += float(isc[dsq[i - 1], k])
+            if prev is not None:
+                ps, pk = prev
+                if ps == "N" and s == "N":
+                    sc += float(xN[0])
+                elif ps == "N" and s == "B":
+                    sc += float(xN[1])
+                elif ps == "B" and s == "M":
+                    sc += float(t["BM"][k - 1])
+                elif ps == "M" and s == "M":
+                    sc += float(t["MM"][pk])
+                elif ps == "M" and s == "I":
+                    sc += float(t["MI"][pk])
+                elif ps == "M" and s == "D":
+                    sc += float(t["MD"][pk])
+                elif ps == "I" and s == "M":
+                    sc += float(t["IM"][pk])
+                elif ps == "I" and s == "I":
+                    sc += float(t["II"][pk])
+                elif ps == "D" and s == "M":
+                    sc += float(t["DM"][pk])
+                elif ps == "D" and s == "D":
+                    sc += float(t["DD"][pk])
+                elif s == "E":
+                    sc += float(xE[1]) * 0.0   # M/D->E free in local mode
+                elif ps == "E" and s == "J":
+                    sc += float(xE[0])
+                elif ps == "E" and s == "C":
+                    sc += float(xE[1])
+                elif ps == "J" and s == "J":
+                    sc += float(xJ[0])
+                elif ps == "J" and s == "B":
+                    sc += float(xJ[1])
+                elif ps == "C" and s == "C":
+                    sc += float(xC[0])
+                elif ps == "C" and s == "T":
+                    sc += float(xC[1])
+            prev = (s, k)
+        return sc
+
+    @classmethod
+    def from_sequence(cls, sequence) -> "Trace":
+        """The trivial trace aligning a sequence to itself column by
+        column (``Trace.from_sequence``, used by jackhmmer seeding)."""
+        n = len(sequence)
+        tr = cls()
+        tr.append("N")
+        tr.append("B")
+        for i in range(1, n + 1):
+            tr.append("M", i, i, 1.0)
+        tr.append("E")
+        tr.append("C")
+        return tr
+
 
 # ---------------------------------------------------------------------------
 # optimal accuracy alignment

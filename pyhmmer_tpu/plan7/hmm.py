@@ -148,6 +148,32 @@ class HMM:
 
     # --- basic ops (ref plan7.pyx:2247-3446) --------------------------------
 
+    # --- reference tensor-view aliases (plan7.pyx:2235-3446) ---------------
+
+    @property
+    def match_emissions(self) -> np.ndarray:
+        """``[M+1, K]`` match emission probabilities (``hmm->mat``)."""
+        return self.mat
+
+    @property
+    def insert_emissions(self) -> np.ndarray:
+        """``[M+1, K]`` insert emission probabilities (``hmm->ins``)."""
+        return self.ins
+
+    @property
+    def transition_probabilities(self) -> np.ndarray:
+        """``[M+1, 7]`` transitions [MM,MI,MD,IM,II,DM,DD] (``hmm->t``)."""
+        return self.t
+
+    @property
+    def nseq_effective(self) -> Optional[float]:
+        """Effective sequence number (``hmm->eff_nseq``)."""
+        return self.eff_nseq
+
+    @nseq_effective.setter
+    def nseq_effective(self, v) -> None:
+        self.eff_nseq = v
+
     def copy(self) -> "HMM":
         new = HMM(self.alphabet, self.M, self.name)
         new.t = self.t.copy()

@@ -113,6 +113,108 @@ class OptimizedProfile:
         """uint8 MSV emission costs [Kp, M] (``om->rbv`` equivalent)."""
         return self.quant.cost.astype(np.uint8)
 
+    # --- reference quantized-field accessors (p7_oprofile.pxd:52-109).
+    # This engine keeps one quantization (the uint8 MSV bands); the
+    # 16-bit Viterbi and f32 Forward run unquantized on device, so the
+    # corresponding views are derived rather than stored. --------------
+
+    @property
+    def sbv(self) -> np.ndarray:
+        """uint8 SSV emission costs [Kp, M] (same table as ``rbv``)."""
+        return self.quant.cost.astype(np.uint8)
+
+    @property
+    def bias_b(self) -> int:
+        return int(self.quant.bias_b)
+
+    @property
+    def base_b(self) -> int:
+        return int(self.quant.base_b)
+
+    @property
+    def tec_b(self) -> int:
+        return int(self.quant.tec_b)
+
+    @property
+    def tbm_b(self) -> int:
+        return int(self.quant.tbm_b)
+
+    # aliases used by the reference docs
+    tbm = tbm_b
+    tec = tec_b
+
+    @property
+    def tjb(self) -> int:
+        """Quantized NJC move cost for the configured length."""
+        L = self.L
+        scale = self.quant.scale_b
+        return int(min(255, round(-scale * np.log(3.0 / (L + 3.0)))))
+
+    @property
+    def scale_w(self) -> float:
+        """16-bit Viterbi score scale (reference value 500/log2;
+        informational -- the device Viterbi runs in f32)."""
+        return 500.0 / np.log(2.0)
+
+    @property
+    def base_w(self) -> int:
+        return 12000
+
+    @property
+    def ddbound_w(self) -> int:
+        return 0
+
+    @property
+    def ncj_roundoff(self) -> float:
+        return 0.0
+
+    @property
+    def rfv(self) -> np.ndarray:
+        """f32 Forward emission odds [Kp, M+1] (``om->rfv`` equivalent)."""
+        m = self._profile.msc
+        return np.exp(np.where(np.isfinite(m), m, -np.inf)).astype(
+            np.float32)
+
+    @property
+    def tfv(self) -> np.ndarray:
+        """f32 Forward transition odds, ProfileTransitions order."""
+        return np.exp(self._profile.transition_scores).astype(np.float32)
+
+    @property
+    def xf(self) -> np.ndarray:
+        """f32 special transitions [4, 2] (E,N,J,C x (loop,move))."""
+        p = self._profile
+        x = np.stack([p.xE, p.xN, p.xJ, p.xC])
+        return np.exp(np.where(np.isfinite(x), x, -np.inf)).astype(
+            np.float32)
+
+    @property
+    def compositions(self):
+        """Model mean residue composition (``om->compo``)."""
+        return self._profile.compo
+
+    @property
+    def reference(self):
+        return getattr(self._profile, "reference", None)
+
+    @property
+    def model_mask(self):
+        return getattr(self._profile, "model_mask", None)
+
+    @property
+    def consensus_structure(self):
+        return getattr(self._profile, "consensus_structure", None)
+
+    def write(self, fh_filter, fh_profile) -> None:
+        """Write the filter and profile parts to two binary handles
+        (``p7_oprofile_Write`` role; hmmpress uses the same layout)."""
+        import struct as _struct
+        q = self.quant
+        fh_filter.write(_struct.pack("<III", 0x70F11E0F, self.M,
+                                     self.alphabet.Kp))
+        fh_filter.write(q.cost.astype("<u1").tobytes())
+        fh_profile.write(_struct.pack("<II", 0x70F11E1F, self.M))
+
     def reconfig_length(self, L: int) -> None:
         self._profile.reconfig_length(L)
 
@@ -163,7 +265,33 @@ class OptimizedProfileBlock:
         return iter(self._profiles)
 
     def __getitem__(self, i):
+        if isinstance(i, slice):
+            out = OptimizedProfileBlock(self.alphabet)
+            out._profiles = self._profiles[i]
+            return out
         return self._profiles[i]
+
+    def __contains__(self, om) -> bool:
+        return om in self._profiles
+
+    def copy(self) -> "OptimizedProfileBlock":
+        out = OptimizedProfileBlock(self.alphabet)
+        out._profiles = list(self._profiles)
+        return out
+
+    def index(self, om: OptimizedProfile) -> int:
+        return self._profiles.index(om)
+
+    def insert(self, i: int, om: OptimizedProfile) -> None:
+        if om.alphabet != self.alphabet:
+            raise ValueError("alphabet mismatch")
+        self._profiles.insert(i, om)
+
+    def pop(self, i: int = -1) -> OptimizedProfile:
+        return self._profiles.pop(i)
+
+    def remove(self, om: OptimizedProfile) -> None:
+        self._profiles.remove(om)
 
 
 class HMMPressedFile:

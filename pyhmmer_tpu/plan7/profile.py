@@ -174,6 +174,30 @@ class Profile:
         """Per-row emission score matrix ``[L, M+1]`` for a digital sequence."""
         return self.msc[dsq]
 
+    def clear(self) -> None:
+        """Reset the profile to an unconfigured state
+        (``Profile.clear``, reference ``plan7.pyx:7548-7957``)."""
+        M, alphabet = self.M, self.alphabet
+        self.__init__(M, alphabet)
+
+    def msv_filter(self, seq) -> float:
+        """Generic (float-exact) MSV filter score of one sequence in nats
+        (``Profile.msv_filter``, reference ``plan7.pyx:7548+``)."""
+        from ..ops import reference as _ref
+        return float(_ref.msv_score(self, seq.sequence))
+
+    @property
+    def transition_scores(self) -> np.ndarray:
+        """``[M+1, 8]`` transition score matrix in nats, columns ordered
+        like ``ProfileTransitions`` [BM,MM,IM,DM,MD,DD,MI,II]."""
+        W = self.M + 1
+        out = np.full((W, 8), -np.inf, dtype=np.float64)
+        for col, tn in enumerate(
+                ("tBM", "tMM", "tIM", "tDM", "tMD", "tDD", "tMI", "tII")):
+            v = getattr(self, tn)
+            out[: len(v), col] = v
+        return out
+
     def copy(self) -> "Profile":
         import copy as _copy
         out = _copy.deepcopy(self)

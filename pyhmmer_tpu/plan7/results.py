@@ -256,12 +256,67 @@ class TopHits:
 
     # --- sorting / thresholding ------------------------------------------------
 
+    @property
+    def mode(self) -> str:
+        """``"search"`` or ``"scan"`` (reference ``TopHits.mode``)."""
+        return getattr(self, "_mode", "search")
+
+    @property
+    def query(self):
+        """The query object this collection was produced from (HMM /
+        sequence / MSA), when the caller recorded it."""
+        return getattr(self, "_query", None)
+
+    @query.setter
+    def query(self, v):
+        self._query = v
+
+    @property
+    def query_name(self):
+        return self._query_name
+
+    @query_name.setter
+    def query_name(self, v):
+        self._query_name = v
+
+    @property
+    def strand(self):
+        """Strand searched for long-target (nhmmer) results, else None."""
+        return getattr(self, "_strand", None)
+
+    @property
+    def block_length(self):
+        """Window block length used by the long-targets pipeline."""
+        return getattr(self, "_block_length", None)
+
+    def copy(self) -> "TopHits":
+        """A deep copy of the hit collection (reference
+        ``TopHits.copy``)."""
+        import copy as _copy
+        return _copy.deepcopy(self)
+
+    @property
+    def is_sorted(self) -> bool:
+        return getattr(self, "_sortkey", None) is not None
+
+    def sort(self, by: str = "key") -> None:
+        """Sort hits in place by ``"key"`` (sort key = score) or
+        ``"seqidx"`` (reference ``TopHits.sort``)."""
+        if by == "key":
+            self.sort_by_key()
+        elif by == "seqidx":
+            self.sort_by_seqidx()
+        else:
+            raise ValueError(f"invalid sort key: {by!r}")
+
     def sort_by_key(self) -> None:
         """Sort by bit score descending, ties by name (``p7_tophits_SortBySortkey``)."""
         self.hits.sort(key=lambda h: (-h.score, h.name))
+        self._sortkey = "key"
 
     def sort_by_seqidx(self) -> None:
         self.hits.sort(key=lambda h: (h.name, -h.score))
+        self._sortkey = "seqidx"
 
     def _hit_is_reportable(self, h: Hit) -> bool:
         if self.bit_cutoffs is not None:
