@@ -98,18 +98,29 @@ def traces_to_msa(hmm: HMM, seqs: Sequence[DigitalSequence],
     rows = np.full((len(seqs), alen), gap, dtype=np.uint8)
     lower = np.zeros((len(seqs), alen), dtype=bool)
     for r, (sq, cols) in enumerate(zip(seqs, parsed)):
-        ins_used = np.zeros(M + 1, dtype=np.int64)
+        # collect this trace's insert runs per node, then place them with
+        # HMMER's rejustification (tracealign.c rejustify_insertions):
+        # the first nins/2 residues are left-justified in the insert
+        # block, the remainder right-justified
+        ins_res: dict = {}
         for s, k, i in cols:
             if s == "M":
                 rows[r, col_of_match[k]] = sq.sequence[i - 1]
-                ins_used[k] = 0
             elif s == "I":
-                c = ins_start[k] + ins_used[k]
-                if ins_used[k] < ins_width[k]:
-                    rows[r, c] = sq.sequence[i - 1]
-                    lower[r, c] = True
-                    ins_used[k] += 1
+                ins_res.setdefault(k, []).append(sq.sequence[i - 1])
             # D leaves a gap in the match column (already gap)
+        for k, res in ins_res.items():
+            width = int(ins_width[k])
+            n = len(res)
+            nleft = n // 2
+            for j in range(nleft):
+                c = ins_start[k] + j
+                rows[r, c] = res[j]
+                lower[r, c] = True
+            for j in range(nleft, n):
+                c = ins_start[k] + width - (n - j)
+                rows[r, c] = res[j]
+                lower[r, c] = True
 
     msa = DigitalMSA(alph, name=hmm.name)
     msa.names = [s.name for s in seqs]

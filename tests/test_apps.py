@@ -1,0 +1,106 @@
+"""Application-layer golden parity tests (SURVEY.md §4: the reference
+exercises every CLI-equivalent through golden files --
+``test_hmmer.py:51-830``)."""
+import pytest
+
+import pyhmmer_tpu as ph
+from pyhmmer_tpu.plan7 import HMMFile, HMMPressedFile
+from pyhmmer_tpu.easel import SequenceFile, MSAFile
+
+
+@pytest.fixture(scope="module")
+def luxc(data_dir):
+    with HMMFile(data_dir / "hmms" / "txt" / "LuxC.hmm") as f:
+        return f.read()
+
+
+def test_hmmalign_luxc_golden(data_dir, luxc):
+    """hmmalign output is byte-identical to the bundled HMMER golden
+    alignment (reference test_hmmer.py:808-820)."""
+    with SequenceFile(data_dir / "seqs" / "LuxC.faa", digital=True) as f:
+        seqs = f.read_block()
+    with MSAFile(data_dir / "msa" / "LuxC.hmmalign.sto") as f:
+        ref = f.read()
+    msa = ph.hmmalign(luxc, seqs, trim=True)
+    assert list(msa.names) == list(ref.names)
+    assert list(msa.alignment) == list(ref.alignment)
+
+
+def test_hmmscan_rrefam_golden(data_dir):
+    """hmmscan hits match the bundled ``RREFam.scan.tbl`` golden table
+    (reference test_hmmer.py TestHMMScan.test_rrefam_block)."""
+    expected = {}
+    with open(data_dir / "tables" / "RREFam.scan.tbl") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.split()
+            expected.setdefault(f[2], []).append(
+                (f[0], float(f[5]), float(f[6])))
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        seqs = [s for s in f if s.name.decode() in expected]
+    with HMMFile(data_dir / "hmms" / "txt" / "RREFam.hmm") as f:
+        hmms = list(f)
+    for th in ph.hmmscan(seqs, hmms):
+        qn = th.query_name.decode()
+        got = [(h.name.decode(), h.score, h.bias) for h in th if h.reported]
+        exp = expected[qn]
+        assert [g[0] for g in got] == [e[0] for e in exp]
+        for (gn, gs, gb), (en, es, eb) in zip(got, exp):
+            # null2 on clustered hits carries sampler-RNG wobble
+            # (PARITY_NOTES.md gap #2/#3): allow 0.3 bits there
+            assert abs(gs - es) <= 0.3
+            assert abs(gb - eb) <= 0.3
+
+
+def test_jackhmmer_pksi_golden(data_dir):
+    """jackhmmer first iteration matches the bundled phmmer golden
+    domtbl (reference test_hmmer.py TestJackhmmer.test_pksi)."""
+    with SequenceFile(data_dir / "seqs" / "PKSI.faa", digital=True) as f:
+        seqs = f.read_block()
+    res = next(iter(ph.jackhmmer(seqs[-1:], seqs, max_iterations=1)))
+    assert res.iteration == 1
+    hits = res.hits
+    hits.sort()
+    exp = []
+    with open(data_dir / "tables" / "A0A089QRB9.domtbl") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.split()
+            exp.append((f[0], float(f[7])))
+    got = [(h.name.decode(), h.score) for h in hits for _ in h.domains]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (gn, gs), (en, es) in zip(got, exp):
+        # big multidomain hits carry ensemble-null2 wobble; scores are
+        # hundreds-to-thousands of bits there, so use a relative bound
+        assert abs(gs - es) <= max(0.2, 0.01 * abs(es))
+
+
+def test_phmmer_self_hit(data_dir):
+    with SequenceFile(data_dir / "seqs" / "LuxC.faa", digital=True) as f:
+        seqs = f.read_block()
+    th = next(iter(ph.phmmer(seqs[0], seqs)))
+    assert len(th) >= 1
+    assert th[0].name == seqs[0].name        # best hit is self
+    assert th[0].score > 100.0
+
+
+def test_hmmpress_roundtrip(tmp_path, data_dir):
+    with HMMFile(data_dir / "hmms" / "txt" / "RREFam.hmm") as f:
+        hmms = list(f)
+    base = tmp_path / "RREFam.hmm"
+    with open(base, "wb") as fh:          # hmmpress sits NEXT TO the db
+        for h in hmms:
+            h.write(fh)
+    n = ph.hmmpress(hmms, base)
+    assert n == len(hmms)
+    for ext in (".h3m", ".h3f", ".h3p", ".h3i"):
+        assert (tmp_path / ("RREFam.hmm" + ext)).exists()
+    with HMMFile(base) as f:
+        assert f.is_pressed()
+        oms = list(f.optimized_profiles())
+    assert [om.name for om in oms] == [h.name for h in hmms]
+    with HMMPressedFile(base) as pf:
+        assert len(list(pf)) == len(hmms)
