@@ -104,3 +104,19 @@ def test_hmmpress_roundtrip(tmp_path, data_dir):
     assert [om.name for om in oms] == [h.name for h in hmms]
     with HMMPressedFile(base) as pf:
         assert len(list(pf)) == len(hmms)
+
+
+def test_jackhmmer_pksi_checkpoints(data_dir):
+    """Iterative convergence shape (reference test_pksi_checkpoint:
+    HMMER CLI converges in 3 iterations / 5 hits / 17 MSA seqs; the
+    ensemble-RNG domain-count wobble on the giant multidomain PKS hits
+    can merge one envelope and converge one iteration earlier --
+    PARITY_NOTES.md gap #2)."""
+    with SequenceFile(data_dir / "seqs" / "PKSI.faa", digital=True) as f:
+        seqs = f.read_block()
+    iterations = next(iter(ph.jackhmmer(seqs[-1:], seqs, checkpoints=True)))
+    assert 2 <= len(iterations) <= 4
+    last = iterations[-1]
+    assert last.converged
+    assert len(last.hits) == 5
+    assert abs(len(last.msa.sequences) - 17) <= 1
