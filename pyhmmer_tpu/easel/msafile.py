@@ -116,6 +116,73 @@ def _parse_clustal(text: str) -> Iterator[TextMSA]:
         yield msa
 
 
+def _parse_phylip(text: str) -> Iterator[TextMSA]:
+    """PHYLIP interleaved ("phylip") and sequential ("phylips"): a
+    ``nseq alen`` header line, names in the first block, then bare
+    continuation blocks (``esl_msafile_phylip`` semantics)."""
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return
+    head = lines[0].split()
+    try:
+        nseq, alen = int(head[0]), int(head[1])
+    except (ValueError, IndexError):
+        # not a phylip header: fall back to clustal-like parsing
+        yield from _parse_clustal(text)
+        return
+    names: List[str] = []
+    rows: List[str] = []
+    li = 1
+    # first block carries the names
+    while len(names) < nseq and li < len(lines):
+        ln = lines[li]
+        parts = ln.split(None, 1)
+        names.append(parts[0])
+        rows.append("".join(parts[1].split()) if len(parts) > 1 else "")
+        li += 1
+    # sequential: keep filling the CURRENT shortest row; interleaved:
+    # continuation blocks cycle through sequences in order
+    r = 0
+    while li < len(lines):
+        chunk = "".join(lines[li].split())
+        if len(rows[r]) >= alen:
+            # find next incomplete row (covers both layouts)
+            nxt = [j for j in range(nseq) if len(rows[j]) < alen]
+            if not nxt:
+                break
+            r = nxt[0]
+        rows[r] += chunk
+        r = (r + 1) % nseq
+        li += 1
+    msa = TextMSA()
+    msa.names = [n.encode() for n in names]
+    msa.rows = [row[:alen] for row in rows]
+    yield msa
+
+
+def _parse_selex(text: str) -> Iterator[TextMSA]:
+    """SELEX: ``name seq`` lines in blocks, ``#=`` annotation lines,
+    ``%``/``#`` comments (``esl_msafile_selex`` semantics)."""
+    rows: dict = {}
+    order: List[str] = []
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("%") or s.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) >= 2:
+            nm = parts[0]
+            if nm not in rows:
+                order.append(nm)
+                rows[nm] = ""
+            rows[nm] += "".join(parts[1:])
+    if order:
+        msa = TextMSA()
+        msa.names = [n.encode() for n in order]
+        msa.rows = [rows[n] for n in order]
+        yield msa
+
+
 class MSAFile:
     """Iterative reader over alignments in a file."""
 
@@ -127,9 +194,9 @@ class MSAFile:
         "clustal": _parse_clustal,
         "clustallike": _parse_clustal,
         "psiblast": _parse_clustal,
-        "selex": _parse_clustal,
-        "phylip": _parse_clustal,
-        "phylips": _parse_clustal,
+        "selex": _parse_selex,
+        "phylip": _parse_phylip,
+        "phylips": _parse_phylip,
     }
 
     def __init__(self, file: Union[str, os.PathLike, io.IOBase],

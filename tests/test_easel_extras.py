@@ -212,3 +212,37 @@ def test_sequencefile_readinto(data_dir):
         assert out is buf
         assert buf.name == first.name
         assert buf.sequence == first.sequence
+
+
+def test_msafile_phylip_interleaved(tmp_path):
+    from pyhmmer_tpu.easel import MSAFile
+    p = tmp_path / "t.phy"
+    p.write_text(
+        " 3 12\n"
+        "seqA       ACGTAC\n"
+        "seqB       ACGTTC\n"
+        "seqC       AC--AC\n"
+        "\n"
+        "GTACGT\n"
+        "GTACGA\n"
+        "GTAC-T\n")
+    with MSAFile(str(p), format="phylip") as f:
+        msa = f.read()
+    assert msa.names == [b"seqA", b"seqB", b"seqC"]
+    assert msa.rows == ["ACGTACGTACGT", "ACGTTCGTACGA", "AC--ACGTAC-T"]
+
+
+def test_msafile_selex(tmp_path):
+    from pyhmmer_tpu.easel import MSAFile
+    p = tmp_path / "t.slx"
+    p.write_text(
+        "% a comment\n"
+        "seq1 ACDE.F\n"
+        "seq2 ACD-EF\n"
+        "\n"
+        "seq1 GHIK\n"
+        "seq2 GH-K\n")
+    with MSAFile(str(p), format="selex") as f:
+        msa = f.read()
+    assert msa.names == [b"seq1", b"seq2"]
+    assert msa.rows == ["ACDE.FGHIK", "ACD-EFGH-K"]
