@@ -306,10 +306,18 @@ double fwd_impl(
     double logN = 0.0;
     double b_ = P.eN[1], j_ = 0.0, c_ = 0.0;   // linear specials
     double logscale = 0.0;
-    xNv[0] = 0.0; xBv[0] = std::log(b_);
-    xEv[0] = xCv[0] = xJv[0] = NEGMASS;
+    const bool lin_spec = (keep == 3 || keep == 4);   // linear specials
+    const bool raw_mx = (keep == 2 || keep == 4);     // raw odds matrices
+    if (lin_spec) {
+        xNv[0] = 1.0; xBv[0] = b_;
+        xEv[0] = xCv[0] = xJv[0] = 0.0;
+        rowscale[0] = 0.0;
+    } else {
+        xNv[0] = 0.0; xBv[0] = std::log(b_);
+        xEv[0] = xCv[0] = xJv[0] = NEGMASS;
+    }
     if (keep == 1) for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = NEGMASS;
-    if (keep == 2) {
+    if (raw_mx) {
         for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = 0.0;
         rowscale[0] = 0.0;
     }
@@ -326,11 +334,13 @@ double fwd_impl(
         logN += xN[0];
         double n_scaled = std::exp(logN - logscale);
         b_ = n_scaled * P.eN[1] + j_ * P.eJ[1];
-        xEv[i] = xlog(e, logscale);
-        xJv[i] = xlog(j_, logscale);
-        xCv[i] = xlog(c_, logscale);
-        xNv[i] = logN;
-        xBv[i] = xlog(b_, logscale);
+        if (!lin_spec) {
+            xEv[i] = xlog(e, logscale);
+            xJv[i] = xlog(j_, logscale);
+            xCv[i] = xlog(c_, logscale);
+            xNv[i] = logN;
+            xBv[i] = xlog(b_, logscale);
+        }
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
         if (keep == 1) {
             double* Mo = Mm + (size_t)i * W;
@@ -343,20 +353,34 @@ double fwd_impl(
                 Do[k] = xlog(drow[k], logscale);
             }
         }
-        if (keep == 2) {
+        if (raw_mx || keep == 3) {
             // odds mode: rescale every row by the row max so stored raw
             // values stay in [0, 1] (bounds the posterior row factors),
-            // then store raw odds + the row's log scale
+            // then store raw odds + the row's log scale.  keep==3 keeps
+            // only the linear specials (domaindef region finding).
             double mx = TINY;
             for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
             mx = std::max(mx, std::max(j_, c_));
             double inv = 1.0 / mx;
-            scale_store_row(W, inv, mrow, irow, drow,
-                            Mm + (size_t)i * W, Im + (size_t)i * W,
-                            Dm + (size_t)i * W);
+            if (raw_mx)
+                scale_store_row(W, inv, mrow, irow, drow,
+                                Mm + (size_t)i * W, Im + (size_t)i * W,
+                                Dm + (size_t)i * W);
+            else
+                for (int k = 0; k < W; k++) {
+                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                }
             b_ *= inv; j_ *= inv; c_ *= inv;
             logscale += std::log(mx);
             rowscale[i] = logscale;
+            if (lin_spec) {
+                double ns = n_scaled * inv;
+                xEv[i] = e * inv;
+                xJv[i] = j_;
+                xCv[i] = c_;
+                xNv[i] = ns;
+                xBv[i] = b_;
+            }
         } else if (e > RESCALE_HI || (e > 0 && e < 1.0 / RESCALE_HI)) {
             double s = e;
             double inv = 1.0 / s;
@@ -367,7 +391,8 @@ double fwd_impl(
             logscale += std::log(s);
         }
     }
-    double score = xCv[L] + (P.eC[1] > 0.0 ? std::log(P.eC[1]) : NEGMASS);
+    double score = xlog(c_, logscale)
+                   + (P.eC[1] > 0.0 ? std::log(P.eC[1]) : NEGMASS);
     g_arena.release(amark);
     return score;
 }
@@ -390,9 +415,17 @@ double bck_impl(
     double c_ = P.eC[1];
     double e_ = c_ * P.eE[1];
     double n_ = 0.0, b_ = 0.0, j_ = 0.0;
-    xCv[L] = xlog(c_, 0.0);
-    xEv[L] = xlog(e_, 0.0);
-    xNv[L] = xBv[L] = xJv[L] = NEGMASS;
+    const bool lin_spec = (keep == 3 || keep == 4);
+    const bool raw_mx = (keep == 2 || keep == 4);
+    if (lin_spec) {
+        xCv[L] = c_; xEv[L] = e_;
+        xNv[L] = xBv[L] = xJv[L] = 0.0;
+        rowscale[L] = 0.0;
+    } else {
+        xCv[L] = xlog(c_, 0.0);
+        xEv[L] = xlog(e_, 0.0);
+        xNv[L] = xBv[L] = xJv[L] = NEGMASS;
+    }
     drow[0] = 0.0;
     if (M >= 1) drow[M] = e_;
     for (int k = M - 1; k >= 1; k--)
@@ -412,7 +445,7 @@ double bck_impl(
             Do[k] = xlog(drow[k], 0.0);
         }
     }
-    if (keep == 2) {
+    if (raw_mx) {
         double* Mo = Mm + (size_t)L * W;
         double* Io = Im + (size_t)L * W;
         double* Do = Dm + (size_t)L * W;
@@ -432,11 +465,13 @@ double bck_impl(
         c_ = c_ * P.eC[0];
         n_ = n_ * P.eN[0] + b * P.eN[1];
         e_ = j_ * P.eE[0] + c_ * P.eE[1];
-        xBv[i] = xlog(b_, logscale);
-        xJv[i] = xlog(j_, logscale);
-        xCv[i] = xlog(c_, logscale);
-        xNv[i] = xlog(n_, logscale);
-        xEv[i] = xlog(e_, logscale);
+        if (!lin_spec) {
+            xBv[i] = xlog(b_, logscale);
+            xJv[i] = xlog(j_, logscale);
+            xCv[i] = xlog(c_, logscale);
+            xNv[i] = xlog(n_, logscale);
+            xEv[i] = xlog(e_, logscale);
+        }
 
         bck_row_core(M, ms, is, P.eMM, P.eIM, P.eDM,
                      P.eMI, P.eII, P.eMD, P.eDD,
@@ -454,22 +489,35 @@ double bck_impl(
                 Do[k] = xlog(drow[k], logscale);
             }
         }
-        if (keep == 2) {
+        if (raw_mx || keep == 3) {
             double mx = TINY;
             for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
             double inv = 1.0 / mx;
-            double* __restrict__ Mo = Mm + (size_t)i * W;
-            double* __restrict__ Io = Im + (size_t)i * W;
-            double* __restrict__ Do = Dm + (size_t)i * W;
-            Mo[0] = Io[0] = Do[0] = 0.0;
+            if (raw_mx) {
+                double* __restrict__ Mo = Mm + (size_t)i * W;
+                double* __restrict__ Io = Im + (size_t)i * W;
+                double* __restrict__ Do = Dm + (size_t)i * W;
+                Mo[0] = Io[0] = Do[0] = 0.0;
 #pragma GCC ivdep
-            for (int k = 1; k < W; k++) {
-                mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
-                Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
+                for (int k = 1; k < W; k++) {
+                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                    Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
+                }
+            } else {
+                for (int k = 0; k < W; k++) {
+                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                }
             }
             n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
             logscale += std::log(mx);
             rowscale[i] = logscale;
+            if (lin_spec) {
+                xBv[i] = b_;
+                xJv[i] = j_;
+                xCv[i] = c_;
+                xNv[i] = n_;
+                xEv[i] = e_;
+            }
         } else {
             double mx = 0.0;
             for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
@@ -483,7 +531,7 @@ double bck_impl(
             }
         }
     }
-    double score = xNv[0];
+    double score = xlog(n_, logscale);
     g_arena.release(amark);
     return score;
 }
@@ -1073,16 +1121,21 @@ int32_t hmmdp_domaindef(
 
     Arena::Mark call_mark = g_arena.mark();
     // ---- full-sequence multihit Forward/Backward parsers ----
+    // keep=3: specials stored LINEAR with per-row log scales -- avoids
+    // 4-5 log() calls per row in each parser; the decode below pays one
+    // vectorizable exp() pass per posterior stream instead
     double* fxN = g_arena.alloc(L + 1); double* fxB = g_arena.alloc(L + 1);
     double* fxE = g_arena.alloc(L + 1); double* fxC = g_arena.alloc(L + 1);
     double* fxJ = g_arena.alloc(L + 1);
     double* bxN = g_arena.alloc(L + 1); double* bxB = g_arena.alloc(L + 1);
     double* bxE = g_arena.alloc(L + 1); double* bxC = g_arena.alloc(L + 1);
     double* bxJ = g_arena.alloc(L + 1);
+    double* rsf = g_arena.alloc(L + 1);
+    double* rsb = g_arena.alloc(L + 1);
     double dummy[1];
     double fwdsc = fwd_impl(Pm, dsq, L, sm.xN, M, Kp,
                             fxN, fxB, fxE, fxC, fxJ,
-                            dummy, dummy, dummy, 0, dummy);
+                            dummy, dummy, dummy, 3, rsf);
     if (fwdsc < fwd_min) {
         // exact-score gate miss: the caller's F3 re-check would drop this
         // target anyway, so skip Backward/decode/rescoring entirely
@@ -1094,20 +1147,32 @@ int32_t hmmdp_domaindef(
         return 0;
     }
     bck_impl(Pm, dsq, L, M, Kp,
-             bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 0, dummy);
+             bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 3, rsb);
 
-    // ---- decode_specials: btot / etot / mocc ----
+    // ---- decode_specials: btot / etot / mocc (linear specials x
+    // row-scale exponentials; the ef* passes auto-vectorize) ----
     double* btot = g_arena.alloc(L + 1);
     double* etot = g_arena.alloc(L + 1);
     double* mocc = g_arena.alloc(L + 1);
-    btot[0] = etot[0] = mocc[0] = 0.0;
-    for (int i = 1; i <= L; i++) {
-        btot[i] = btot[i - 1] + std::exp(fxB[i - 1] + bxB[i - 1] - fwdsc);
-        etot[i] = etot[i - 1] + std::exp(fxE[i] + bxE[i] - fwdsc);
-        double pN = std::exp(fxN[i - 1] + sm.xN[0] + bxN[i] - fwdsc);
-        double pJ = std::exp(fxJ[i - 1] + sm.xJ[0] + bxJ[i] - fwdsc);
-        double pC = std::exp(fxC[i - 1] + sm.xC[0] + bxC[i] - fwdsc);
-        mocc[i] = 1.0 - (pN + pJ + pC);
+    {
+        double* __restrict__ ef_bb = g_arena.alloc(L + 1);
+        double* __restrict__ ef_ee = g_arena.alloc(L + 1);
+        double* __restrict__ ef_nx = g_arena.alloc(L + 1);
+        for (int i = 1; i <= L; i++) {
+            ef_bb[i] = std::exp(rsf[i - 1] + rsb[i - 1] - fwdsc);
+            ef_ee[i] = std::exp(rsf[i] + rsb[i] - fwdsc);
+            ef_nx[i] = std::exp(rsf[i - 1] + rsb[i] - fwdsc);
+        }
+        const double eLoop = std::exp(sm.xN[0]);   // == eJ[0] == eC[0]
+        btot[0] = etot[0] = mocc[0] = 0.0;
+        for (int i = 1; i <= L; i++) {
+            btot[i] = btot[i - 1] + fxB[i - 1] * bxB[i - 1] * ef_bb[i];
+            etot[i] = etot[i - 1] + fxE[i] * bxE[i] * ef_ee[i];
+            double pN = fxN[i - 1] * eLoop * bxN[i] * ef_nx[i];
+            double pJ = fxJ[i - 1] * eLoop * bxJ[i] * ef_nx[i];
+            double pC = fxC[i - 1] * eLoop * bxC[i] * ef_nx[i];
+            mocc[i] = 1.0 - (pN + pJ + pC);
+        }
     }
 
     int ndom = 0;
@@ -1141,11 +1206,12 @@ int32_t hmmdp_domaindef(
         double* wbxJ = g_arena.alloc(Ld + 1);
         double* fsc_row = g_arena.alloc(Ld + 1);
         double* bsc_row = g_arena.alloc(Ld + 1);
+        // keep=4: raw odds matrices + LINEAR specials (no per-row logs)
         double envsc = fwd_impl(Pu, win, Ld, su.xN, M, Kp,
                                 wfxN, wfxB, wfxE, wfxC, wfxJ,
-                                fM, fI, fD, 2, fsc_row);
+                                fM, fI, fD, 4, fsc_row);
         bck_impl(Pu, win, Ld, M, Kp,
-                 wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 2, bsc_row);
+                 wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 4, bsc_row);
 
         // posterior decode: matrices are raw odds with per-row log scales
         // (keep==2), so the per-cell work is one multiply -- the exp is
@@ -1173,10 +1239,15 @@ int32_t hmmdp_domaindef(
             }
         }
         ppN[0] = ppJ[0] = ppC[0] = 0.0;
-        for (int i2 = 1; i2 <= Ld; i2++) {
-            ppN[i2] = std::exp(wfxN[i2 - 1] + su.xN[0] + wbxN[i2] - envsc);
-            ppJ[i2] = std::exp(wfxJ[i2 - 1] + su.xJ[0] + wbxJ[i2] - envsc);
-            ppC[i2] = std::exp(wfxC[i2 - 1] + su.xC[0] + wbxC[i2] - envsc);
+        {
+            const double eLoopU = std::exp(su.xN[0]);
+            for (int i2 = 1; i2 <= Ld; i2++) {
+                double ef = std::exp(fsc_row[i2 - 1] + bsc_row[i2]
+                                     - envsc);
+                ppN[i2] = wfxN[i2 - 1] * eLoopU * wbxN[i2] * ef;
+                ppJ[i2] = wfxJ[i2 - 1] * eLoopU * wbxJ[i2] * ef;
+                ppC[i2] = wfxC[i2 - 1] * eLoopU * wbxC[i2] * ef;
+            }
         }
 
         double domcorrection = 0.0;

@@ -29,8 +29,11 @@ _I32 = ctypes.c_int32
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-             "-o", _LIB, _SRC],
+            ["g++", "-O3", "-march=native",
+             # value-preserving: lets gcc vectorize libm calls (exp/log)
+             # through libmvec without changing results
+             "-fno-math-errno", "-fno-trapping-math",
+             "-fPIC", "-shared", "-o", _LIB, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
