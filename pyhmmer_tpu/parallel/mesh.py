@@ -134,3 +134,59 @@ class ShardedCascade:
             self._shard(np.log(pmove).astype(np.float32), P("data")),
             pb.Kp)
         return np.asarray(out, np.float64)[:P_, :Breal]
+
+
+def residue_balanced_chunks(targets, n_chunks: int):
+    """Split a target block into ~residue-balanced contiguous chunks
+    (the reference's ``_ReverseSEARCHDispatcher`` splitting rule,
+    ``hmmer/_hmmsearch.py:115-289``).  Returns a list of index lists."""
+    lengths = np.array([len(s) for s in targets], dtype=np.int64)
+    total = int(lengths.sum())
+    per = max(1, total // max(1, n_chunks))
+    chunks, cur, acc = [], [], 0
+    for i, ln in enumerate(lengths):
+        cur.append(i)
+        acc += int(ln)
+        if acc >= per and len(chunks) < n_chunks - 1:
+            chunks.append(cur)
+            cur, acc = [], 0
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def sharded_search(queries, targets, n_shards: Optional[int] = None,
+                   engine_factory=None, **options):
+    """Data-parallel hmmsearch: targets split residue-balanced into
+    ``n_shards`` chunks, each searched independently (one chunk per
+    device/host in a real deployment), partial ``TopHits`` merged with
+    the reference's contract (concatenate, sum auto-Z, re-threshold --
+    ``TopHits.merge``).  The merged output is identical to a single-shot
+    search: the reference asserts the same through its reverse-dispatcher
+    test matrix (``test_hmmer.py:240-370``).
+
+    Returns one merged ``TopHits`` per query, in query order.
+    """
+    from ..easel.sequence import DigitalSequenceBlock
+    from ..engine import SearchEngine
+
+    queries = list(queries)
+    if not queries:
+        return []
+    n_shards = n_shards or max(1, len(jax.devices()))
+    chunks = residue_balanced_chunks(targets, n_shards)
+    alphabet = queries[0].alphabet
+    factory = engine_factory or (lambda: SearchEngine(alphabet, **options))
+
+    partials = []   # [shard][query] -> TopHits
+    for chunk in chunks:
+        block = DigitalSequenceBlock(targets.alphabet,
+                                     (targets[i] for i in chunk))
+        eng = factory()
+        partials.append(eng.search(queries, block))
+
+    merged = []
+    for qi in range(len(queries)):
+        first = partials[0][qi]
+        merged.append(first.merge(*(p[qi] for p in partials[1:])))
+    return merged

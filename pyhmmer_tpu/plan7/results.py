@@ -407,7 +407,10 @@ class TopHits:
             out.n_past_vit += o.n_past_vit
             out.n_past_fwd += o.n_past_fwd
             if out.Z_setby == "ntargets":
-                out.Z += o.Z if o.Z_setby != "ntargets" else 0.0
+                # auto-Z: partial searches each counted their own
+                # targets; the merged search's Z is the sum
+                # (p7_pipeline_Merge, plan7.pyx:8860-8964)
+                out.Z += o.Z
             elif o.Z != out.Z:
                 raise ValueError("cannot merge hits with different Z")
         for h in out.hits:

@@ -120,3 +120,25 @@ def test_jackhmmer_pksi_checkpoints(data_dir):
     assert last.converged
     assert len(last.hits) == 5
     assert abs(len(last.msa.sequences) - 17) <= 1
+
+
+def test_sharded_search_matches_single_shot(data_dir):
+    """Data-parallel shard + merge == single-shot search (the reference's
+    reverse-dispatcher equivalence, SURVEY.md §2.6: sum auto-Z,
+    re-threshold)."""
+    from pyhmmer_tpu.parallel.mesh import sharded_search
+    with HMMFile(data_dir / "hmms" / "txt" / "PF02826.hmm") as f:
+        hmm = f.read()
+    from pyhmmer_tpu.easel import DigitalSequenceBlock
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        full = f.read_block()
+    targets = DigitalSequenceBlock(full.alphabet, list(full)[:600])
+    single = list(ph.hmmsearch([hmm], targets))[0]
+    merged = sharded_search([hmm], targets, n_shards=4)[0]
+    assert merged.Z == single.Z
+    s_rows = [(h.name, round(h.score, 4), round(h.evalue, 6), h.included)
+              for h in single if h.reported]
+    m_rows = [(h.name, round(h.score, 4), round(h.evalue, 6), h.included)
+              for h in merged if h.reported]
+    assert s_rows == m_rows
