@@ -133,9 +133,9 @@ def test_sharded_search_matches_single_shot(data_dir):
     with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
                       digital=True) as f:
         full = f.read_block()
-    targets = DigitalSequenceBlock(full.alphabet, list(full)[:600])
+    targets = DigitalSequenceBlock(full.alphabet, list(full)[:300])
     single = list(ph.hmmsearch([hmm], targets))[0]
-    merged = sharded_search([hmm], targets, n_shards=4)[0]
+    merged = sharded_search([hmm], targets, n_shards=3)[0]
     assert merged.Z == single.Z
     s_rows = [(h.name, round(h.score, 4), round(h.evalue, 6), h.included)
               for h in single if h.reported]
