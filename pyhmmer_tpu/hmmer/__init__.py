@@ -111,6 +111,16 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
         return iter(())
     alphabet = queries[0].alphabet
 
+    backend = options.pop("backend", "tpu")
+    if backend != "oracle" and options.get("bit_cutoffs") is None:
+        # engine-backed scan: a scan is the transpose of a search (the
+        # reference shares p7_Pipeline between the two; only Z differs,
+        # plan7.pyx:5211-5215), so run the batched engine with the
+        # profile DB as queries and the scan queries as targets, then
+        # re-key each hit by its model
+        return iter(_scan_via_engine(hmms, queries, alphabet, background,
+                                     callback, options))
+
     def gen():
         for q in queries:
             pli = Pipeline(alphabet, background, **options)
@@ -119,6 +129,67 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
                 callback(q, len(queries))
             yield th
     return gen()
+
+
+def _scan_via_engine(hmms, queries, alphabet, background, callback,
+                     options):
+    import copy as _copy
+    from ..engine import SearchEngine
+    from ..easel.sequence import DigitalSequenceBlock
+    from ..plan7.results import TopHits, Hit
+
+    block = DigitalSequenceBlock(alphabet, queries)
+    eng = SearchEngine(alphabet, background, **options)
+    per_hmm = eng.search(hmms, block)
+
+    # index per-model results by target-sequence name
+    by_seq = []   # [mi] -> {seq name: Hit}
+    for th in per_hmm:
+        by_seq.append({h.name: h for h in th})
+
+    out = []
+    nres_db = sum(h.M for h in hmms)
+    for q in queries:
+        th = TopHits()
+        th._mode = "scan"
+        th.query_name = q.name
+        th.query_accession = q.accession or None
+        th.query_length = len(q)
+        # scan accounting: targets are models (plan7.pyx:5211-5215)
+        th.nmodels = len(hmms)
+        th.nnodes = nres_db
+        th.nseqs = 1
+        th.nres = len(q)
+        th.Z = float(len(hmms))
+        th.Z_setby = "ntargets"
+        src = per_hmm[0] if per_hmm else None
+        if src is not None:
+            for attr in ("E", "domE", "T", "domT", "incE", "incdomE",
+                         "incT", "incdomT", "domZ", "domZ_setby"):
+                setattr(th, attr, getattr(src, attr))
+        for mi, hmm in enumerate(hmms):
+            h = by_seq[mi].get(q.name)
+            if h is None:
+                continue
+            nh = Hit(th, hmm.name, hmm.accession or None,
+                     hmm.description or None, hmm.M,
+                     score=h.score, pre_score=h.pre_score,
+                     sum_score=h.sum_score, lnP=h.lnP,
+                     nexpected=h.nexpected, nregions=h.nregions,
+                     nclustered=h.nclustered, noverlaps=h.noverlaps,
+                     nenvelopes=h.nenvelopes)
+            for d in h.domains:
+                nd = _copy.copy(d)
+                nd.hit = nh
+                nh.domains.append(nd)
+            nh.best_domain_idx = h.best_domain_idx
+            th.hits.append(nh)
+        th.sort_by_key()
+        th.threshold()
+        out.append(th)
+        if callback is not None:
+            callback(q, len(queries))
+    return out
 
 
 def phmmer(queries, sequences, *, cpus: int = 0, callback=None,
