@@ -236,10 +236,16 @@ def jackhmmer(queries, sequences, *, max_iterations: int = 5,
     options.setdefault("incdomE", 0.001)
     bld = builder or Builder(alphabet, architecture="hand")
 
+    from ..engine import SearchEngine
+
     def run_one(q):
         pli = Pipeline(alphabet, **options)
         search = pli.iterate_seq(q, block, builder=bld.copy(),
                                  select_hits=select_hits)
+        # per-round searches go through the batched device engine (new
+        # engine per query: the model changes every iteration, so the
+        # engine's profile cache would only churn across queries)
+        search.engine = SearchEngine(alphabet, **options)
         results = []
         last = None
         for _ in range(max_iterations):

@@ -29,7 +29,7 @@ class IterativeSearch:
 
     def __init__(self, pipeline, builder, query, targets,
                  select_hits: Optional[Callable] = None,
-                 from_msa: bool = False):
+                 from_msa: bool = False, engine=None):
         self.pipeline = pipeline
         self.builder = builder
         self.query = query
@@ -40,6 +40,9 @@ class IterativeSearch:
         self.ranking: dict = {}
         self._msa = None
         self._msa_len = 0
+        #: optional batched SearchEngine: per-round searches then run the
+        #: device filter cascade instead of the sequential oracle
+        self.engine = engine
 
     def __iter__(self):
         return self
@@ -47,6 +50,8 @@ class IterativeSearch:
     def _search_hmm(self, hmm: HMM) -> TopHits:
         """Run one round's search; overridden by the daemon-backed variant
         (reference ``daemon.pyx:257-262``)."""
+        if self.engine is not None:
+            return self.engine.search([hmm], self.targets)[0]
         return self.pipeline.search_hmm(hmm, self.targets)
 
     def __next__(self) -> IterationResult:
