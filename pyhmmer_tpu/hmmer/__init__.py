@@ -244,8 +244,12 @@ def jackhmmer(queries, sequences, *, max_iterations: int = 5,
                                  select_hits=select_hits)
         # per-round searches go through the batched device engine (new
         # engine per query: the model changes every iteration, so the
-        # engine's profile cache would only churn across queries)
-        search.engine = SearchEngine(alphabet, **options)
+        # engine's profile cache would only churn across queries).  Tiny
+        # target sets stay on the sequential oracle -- identical results,
+        # and the engine's staging overhead only pays off with real
+        # batches
+        if len(block) >= 64:
+            search.engine = SearchEngine(alphabet, **options)
         results = []
         last = None
         for _ in range(max_iterations):
