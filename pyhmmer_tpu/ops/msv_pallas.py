@@ -60,30 +60,33 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
     base = jnp.float32(190.0)
 
     kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, RBt), 0)
-    # row 0 of the rolled carry is wrap garbage; first_row masks it to the
-    # diagonal-entry value
-    first_row = (jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0) == 0)
-    cost_bf16 = cost_ref[0].astype(jnp.bfloat16)
+    costb_bf16 = cost_ref[0].astype(jnp.bfloat16)
 
     mpv[...] = jnp.zeros((Mp, Bt), jnp.float32)
     xj[...] = jnp.zeros((1, Bt), jnp.float32)
     tjb = tjb_ref[0:1, :]                                    # [1, Bt]
     xb0 = jnp.maximum(base - tjb, 0.0)
 
+    # The uint8 saturations are elided from the row loop: costs come in
+    # pre-biased (costb = cost - bias), and whenever the 255 clamp COULD
+    # have mattered the final overflow flag (xJ >= 255 - bias - tec,
+    # i.e. some row max reached 255 - bias) fires and the pair is
+    # treated as certainly-passing, so clamped and unclamped DPs agree
+    # on every non-flagged output.  Row 0's roll wrap reads a guaranteed
+    # padding row (costb = 255 - bias keeps its state at 0), replacing
+    # the first-row select.
     def strip(s, xb):
         codes_row = codes_ref[pl.ds(s, 1), :]                # [1, R*Bt]
         onehot = (kcode == codes_row).astype(jnp.bfloat16)   # [KP, R*Bt]
-        # integer-valued bf16 inputs (<256) make the f32 accumulation exact
-        cost_all = jax.lax.dot_general(
-            cost_bf16, onehot, (((1,), (0,)), ((), ())),
+        # integer-valued bf16 inputs (|x|<256) keep f32 accumulation exact
+        costb_all = jax.lax.dot_general(
+            costb_bf16, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [Mp, R*Bt]
         for r in range(R):
-            cost = cost_all[:, r * Bt: (r + 1) * Bt]         # [Mp, Bt]
+            costb = costb_all[:, r * Bt: (r + 1) * Bt]       # [Mp, Bt]
             xbv = jnp.maximum(xb - tbm, 0.0)                 # [1, Bt]
             rolled = pltpu.roll(mpv[...], 1, 0)
-            sv = jnp.maximum(jnp.where(first_row, xbv, rolled), xbv)
-            sv = jnp.minimum(sv + bias, 255.0)               # saturating add
-            sv = jnp.maximum(sv - cost, 0.0)                 # saturating sub
+            sv = jnp.maximum(jnp.maximum(rolled, xbv) - costb, 0.0)
             xe = jnp.max(sv, axis=0, keepdims=True)          # [1, Bt]
             xj[...] = jnp.maximum(xj[...], xe - tec)
             mpv[...] = sv
@@ -140,9 +143,13 @@ def build_msv_tensors(pb) -> dict:
     (cached on the ``ProfileBatch``)."""
     if "msvp" in pb._device_cache:
         return pb._device_cache["msvp"]
-    P, Mp = pb.P, ((pb.Mp + 7) // 8) * 8
+    # always pad at least one row past the model so the roll wrap reads
+    # a dead (costb = 255 - bias) row
+    P, Mp = pb.P, ((pb.Mp + 8) // 8) * 8
     cost = np.full((P, Mp, KP_PAD), 255.0, dtype=np.float32)
     cost[:, : pb.Mp, : pb.Kp] = np.transpose(pb.msv_cost, (0, 2, 1))
+    # pre-biased costs (see _msv_body): costb = cost - bias
+    cost -= pb.msv_bias[:, None, None]
     scal = np.stack([pb.msv_bias, pb.msv_tec, pb.msv_tbm,
                      np.zeros(pb.P, np.float32)], axis=1).astype(np.float32)
     out = {"cost": jnp.asarray(cost), "scal": jnp.asarray(scal)}
