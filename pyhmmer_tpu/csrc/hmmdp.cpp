@@ -1021,15 +1021,22 @@ int32_t stotrace_odds(
                     double tot = 0;
                     for (int kk = 0; kk <= M; kk++) tot += uM[kk] + uI[kk];
                     if (tot > 0) {
-                        for (int pos = i + 1; pos <= end_i; pos++) {
-                            uint8_t x = dsq[pos - 1];
-                            if (x >= K) continue;
+                        // hoist the per-position M-dot into one table per
+                        // residue type (identical sums, ~7x fewer ops:
+                        // K x M instead of span_len x M)
+                        double corex[64];
+                        for (int x = 0; x < K; x++) {
                             double v = 0;
                             const double* om_ = odds_m + (size_t)x * W;
                             const double* oi_ = odds_i + (size_t)x * W;
                             for (int kk = 1; kk <= M; kk++)
                                 v += uM[kk] * om_[kk] + uI[kk] * oi_[kk];
-                            double val = v / tot;
+                            corex[x] = v / tot;
+                        }
+                        for (int pos = i + 1; pos <= end_i; pos++) {
+                            uint8_t x = dsq[pos - 1];
+                            if (x >= K) continue;
+                            double val = corex[x];
                             n2acc[pos] += val > 1e-30 ? std::log(val) : -69.0;
                         }
                     }
