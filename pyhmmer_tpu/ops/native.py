@@ -40,6 +40,16 @@ def _build() -> bool:
         return False
 
 
+def _load_checked() -> ctypes.CDLL:
+    """Load the library and probe the newest ABI symbol so a stale
+    binary raises instead of failing later."""
+    lib = ctypes.CDLL(_LIB)
+    lib.hmmdp_viterbi        # newest entry point; AttributeError if stale
+    lib.hmmdp_core_new
+    lib.hmmdp_bias_filter_idx
+    return lib
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
@@ -53,9 +63,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
     try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError:
-        return None
+        lib = _load_checked()
+    except (OSError, AttributeError):
+        # stale binary (e.g. a checkout whose .so predates the source,
+        # or a missing symbol after an ABI change): force a rebuild
+        try:
+            os.remove(_LIB)
+        except OSError:
+            pass
+        if not _build():
+            return None
+        try:
+            lib = _load_checked()
+        except (OSError, AttributeError):
+            return None
 
     sig_fb = [
         _U8, _I32,
