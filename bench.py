@@ -46,7 +46,7 @@ def main():
     from pyhmmer_tpu.easel import SequenceFile
     from pyhmmer_tpu.engine import SearchEngine
 
-    replicate = int(os.environ.get("BENCH_REPLICATE", "4"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "32"))
     queries = load_queries(replicate)
     with SequenceFile(os.path.join(
             DATA, "seqs", "938293.PRJEB85.HG003687.faa"),
@@ -71,6 +71,13 @@ def main():
 
     ncmp = len(queries) * len(targets)
     nhits = sum(len(r.reported) for r in results)
+    if os.environ.get("PYHMMER_TPU_TIMING"):
+        print("# counters: past_msv=%d past_bias=%d past_vit=%d "
+              "past_fwd=%d" % (
+                  sum(r.n_past_msv for r in results),
+                  sum(r.n_past_bias for r in results),
+                  sum(r.n_past_vit for r in results),
+                  sum(r.n_past_fwd for r in results)), file=sys.stderr)
     value = ncmp / dt
     print(json.dumps({
         "metric": "hmmsearch_tpu_comparisons_per_s",

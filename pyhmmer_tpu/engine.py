@@ -386,6 +386,14 @@ class SearchEngine:
         # construction happen serially at the end.
         from .ops import native as _native
         import concurrent.futures as _cf
+        import time as _time
+        _timing = os.environ.get("PYHMMER_TPU_TIMING")
+        _t0 = _time.time()
+        _tmark = {}
+
+        def _mark(name):
+            if _timing:
+                _tmark[name] = _time.time() - _t0
         native_ok = _native.available()
         nthreads = max(2, (os.cpu_count() or 2))
         executor = _cf.ThreadPoolExecutor(nthreads) if native_ok else None
@@ -452,7 +460,9 @@ class SearchEngine:
                 dev = bucket[3]
                 dx, ovf = self._msv_dev(st.pb, dev)
                 s1_parts.extend([dx, ovf])
+        _mark("s1_enqueued")
         s1_np = _fetch_all(s1_parts)
+        _mark("s1_fetched")
 
         # -- stage 1 (host): MSV gate, then the exact bias filter on the
         # survivors only (reference cascade order, p7_pipeline.c) --
@@ -612,11 +622,19 @@ class SearchEngine:
         # computing on device (a fetch costs ~26 ms; 4 groups trade
         # ~0.1 s of extra round trips for ~0.3 s earlier postprocessing)
         ngroup = max(1, (len(s2_parts) + 3) // 4)
+        _mark("s1_host_done")
+        if _timing:
+            _tmark["n_s2_jobs"] = len(s2_jobs)
+            _tmark["s2_lanes"] = sum(len(ctx[j]["bsel"]) for j in s2_jobs)
         for g0 in range(0, len(s2_parts), ngroup):
             group_np = _fetch_all(s2_parts[g0: g0 + ngroup])
             for dj, fsc_raw in enumerate(group_np):
                 _stage2_host(g0 + dj, fsc_raw)
+        _mark("s2_done")
+        if _timing:
+            _tmark["n_s3_jobs"] = len(s3_jobs)
         s3_np = _fetch_all(s3_parts)
+        _mark("s3_fetched")
 
         # -- stage 3 (host): Viterbi gate on the leftover columns --
         for j, (cj, bi) in enumerate(s3_jobs):
@@ -640,6 +658,7 @@ class SearchEngine:
 
         # ---- collect: serial append of worker-built hits (deterministic
         # insertion order = deterministic tie-breaking in sort) ----
+        _mark("s3_host_done")
         for job, fut in pending:
             (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
              vit_min) = job
@@ -680,6 +699,12 @@ class SearchEngine:
                 st.tophits[pi].hits.append(hit)
         if executor is not None:
             executor.shutdown()
+        _mark("collect_done")
+        if _timing:
+            import sys as _sys
+            print("# engine timing: " + " ".join(
+                f"{k}={v:.3f}" for k, v in _tmark.items())
+                + f" npending={len(pending)}", file=_sys.stderr)
 
         # ---- finalize ----
         for st in states:

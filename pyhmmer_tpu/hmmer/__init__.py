@@ -93,18 +93,29 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
 
     E-values use Z = number of profiles (``plan7.pyx:5211-5215``).
     """
+    from ..plan7.profile import Profile as _Profile
     if isinstance(queries, DigitalSequence):
         queries = [queries]
     queries = list(queries)
-    # normalize profile inputs to HMMs
+    # normalize profile inputs to HMMs.  The reference's primary hmmscan
+    # input is a pressed DB / OptimizedProfileBlock (_hmmscan.py:190-215);
+    # our optimized profiles keep a reference to their core model
+    # (Profile.configure), and a pressed DB's .h3m member carries the
+    # complete parameterization, so every input kind normalizes to HMMs.
+    if isinstance(profiles, HMMPressedFile):
+        profiles = HMMFile(profiles.name + ".h3m")
     hmms = []
     for p in profiles:
         if isinstance(p, HMM):
             hmms.append(p)
-        elif isinstance(p, OptimizedProfile):
-            raise TypeError(
-                "pass HMMs or an HMMPressedFile; optimized profiles carry "
-                "no core model")
+        elif isinstance(p, (OptimizedProfile, _Profile)):
+            prof = p.profile if isinstance(p, OptimizedProfile) else p
+            hmm = getattr(prof, "_hmm", None)
+            if hmm is None:
+                raise TypeError(
+                    "optimized profile does not carry its core model; "
+                    "load profiles from a pressed database or HMM file")
+            hmms.append(hmm)
         else:
             hmms.append(p)
     if not queries:

@@ -62,11 +62,11 @@ class HMMFile:
             self._close = False
         self._closed = False
 
-        magic = self._fh.read(4)
+        magic = self._fh.read(16)
         self._fh.seek(-len(magic), io.SEEK_CUR) if magic else None
         if len(magic) < 4:
             raise EOFError("premature end of file")
-        (magic_u32,) = struct.unpack("<I", magic)
+        (magic_u32,) = struct.unpack("<I", magic[:4])
         if magic_u32 in MAGIC_TO_FORMAT:
             self._binary = True
             self.format = MAGIC_TO_FORMAT[magic_u32]
@@ -74,7 +74,12 @@ class HMMFile:
         elif magic[:4] in (b"HMME", b"# ST"):
             self._binary = False
             self._iter = self._iter_ascii()
-            self.format = None  # set on first record
+            if magic.startswith(b"HMMER2.0"):
+                self.format = "2.0"
+            elif magic.startswith(b"HMMER3/") and len(magic) > 7:
+                self.format = "3/" + chr(magic[7])
+            else:
+                self.format = None  # set on first record
         else:
             raise ValueError(f"unrecognized HMM file magic: {magic!r}")
 
@@ -312,14 +317,147 @@ def _parse_ascii_record(lines: List[str], i: int, fmt: str):
 
 
 # ---------------------------------------------------------------------------
-# HMMER2 ASCII (minimal: enough to load tests/data/hmms/txt2)
+# HMMER2 ASCII
 # ---------------------------------------------------------------------------
 
+def _h2_prob(tok: str, null: float = 1.0) -> float:
+    """HMMER2 integer score -> probability: sc = 1000*log2(p/null),
+    '*' = probability zero (HMMER2's Prob2Score/Score2Prob contract)."""
+    if tok == "*":
+        return 0.0
+    return null * 2.0 ** (float(tok) / 1000.0)
+
+
 def _parse_hmmer2_record(lines: List[str], i: int):
-    raise NotImplementedError(
-        "HMMER2 ASCII parsing is handled via conversion; "
-        "load the HMMER3 version of the model instead."
-    )
+    """Parse one ``HMMER2.0`` ASCII record into a core :class:`HMM`.
+
+    Reference behavior: ``p7_hmmfile.c:read_asc20hmm`` (HMMER 3.4) via
+    ``plan7.pyx:3498-3591``; fixtures in ``tests/data/hmms/txt2``.  HMMER2
+    scores are ``round(1000 * log2(p / null))`` with ``*`` meaning zero;
+    emissions are relative to the NULE null model, transitions to 1.
+    The HMMER2 model has no I0/IM/DM-row-0 states and no tM->{M,I,D} at
+    node M, so those take the HMMER3 conventions (lossy roundtrip, as in
+    the reference)."""
+    hdr_tags = {}
+    coms: List[str] = []
+    nule: Optional[List[str]] = None
+    cutoffs = {}
+    i += 1
+    while i < len(lines):
+        line = lines[i]
+        tag = line[:5].strip()
+        val = line[5:].strip() if len(line) > 5 else ""
+        i += 1
+        if tag == "HMM":
+            break
+        if tag == "COM":
+            coms.append(val)
+        elif tag == "NULE":
+            nule = val.split()
+        elif tag in ("GA", "TC", "NC"):
+            parts = val.rstrip(";").split()
+            cutoffs[tag] = (float(parts[0]), float(parts[1]))
+        else:
+            hdr_tags[tag] = val
+    if "LENG" not in hdr_tags:
+        raise ValueError("HMMER2 record missing LENG")
+    M = int(hdr_tags["LENG"])
+    alph = hdr_tags.get("ALPH", "Amino").lower()
+    alphabet = Alphabet.from_name(
+        "amino" if alph.startswith("a") else "dna")
+    K = alphabet.K
+    if nule is None or len(nule) < K:
+        raise ValueError("HMMER2 record missing NULE line")
+    null = np.array([2.0 ** (float(t) / 1000.0) / K for t in nule[:K]],
+                    dtype=np.float64)
+
+    hmm = HMM(alphabet, M, name=hdr_tags.get("NAME", "").encode())
+    if "ACC" in hdr_tags:
+        hmm.accession = hdr_tags["ACC"].encode()
+        hmm.flags |= HMMFlags.ACC
+    if "DESC" in hdr_tags:
+        hmm.description = hdr_tags["DESC"].encode()
+        hmm.flags |= HMMFlags.DESC
+    if "NSEQ" in hdr_tags:
+        hmm.nseq = int(hdr_tags["NSEQ"])
+    if "DATE" in hdr_tags:
+        hmm.creation_time = hdr_tags["DATE"]
+    if coms:
+        hmm.command_line = "\n".join(coms)
+    if "GA" in cutoffs:
+        hmm.gathering = cutoffs["GA"]
+    if "TC" in cutoffs:
+        hmm.trusted = cutoffs["TC"]
+    if "NC" in cutoffs:
+        hmm.noise = cutoffs["NC"]
+    has_map = hdr_tags.get("MAP", "no") == "yes"
+    has_rf = hdr_tags.get("RF", "no") == "yes"
+    has_cs = hdr_tags.get("CS", "no") == "yes"
+
+    # skip transition-name header line; then the B-state line
+    # (t0: B->M1, B->I0, B->D1)
+    i += 1
+    toks = lines[i].split()
+    hmm.t[0, 0:3] = [_h2_prob(t) for t in toks[:3]]
+    hmm.t[0, 3] = 1.0   # I0 transitions: HMMER3 node-0 convention
+    hmm.t[0, 4] = 0.0
+    hmm.t[0, 5] = 1.0   # D0 row convention
+    hmm.t[0, 6] = 0.0
+    hmm.ins[0] = null
+    i += 1
+
+    rf = [" "]
+    cs = [" "]
+    mapv = [0]
+    for k in range(1, M + 1):
+        toks = lines[i].split()
+        if int(toks[0]) != k:
+            raise ValueError(f"expected HMMER2 node {k}, got {toks[0]!r}")
+        hmm.mat[k] = [_h2_prob(t, null[x])
+                      for x, t in enumerate(toks[1: K + 1])]
+        if has_map and len(toks) > K + 1:
+            mapv.append(int(toks[K + 1]))
+        else:
+            mapv.append(0)
+        i += 1
+        # insert line: leading RF char column, then K scores
+        toks = lines[i].split()
+        rf.append(toks[0] if has_rf and toks[0] != "-" else " ")
+        ins_toks = toks[1: K + 1]
+        if k < M and any(t != "*" for t in ins_toks):
+            hmm.ins[k] = [_h2_prob(t, null[x])
+                          for x, t in enumerate(ins_toks)]
+        else:
+            hmm.ins[k] = null   # no I_M in HMMER2; use background
+        i += 1
+        # transition line: leading CS char column, then 9 scores
+        # (m->m m->i m->d i->m i->i d->m d->d b->m m->e)
+        toks = lines[i].split()
+        cs.append(toks[0] if has_cs and toks[0] != "-" else " ")
+        tr = toks[1:10]
+        if k < M:
+            hmm.t[k] = [_h2_prob(t) for t in tr[:7]]
+        else:
+            # node M: M->E == 1 in HMMER2; HMMER3 core conventions
+            hmm.t[M] = [1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+        i += 1
+
+    if has_map:
+        hmm.map = np.array(mapv, dtype=np.int32)
+        hmm.flags |= HMMFlags.MAP
+    if has_rf:
+        hmm.reference = "".join(rf).encode()
+        hmm.flags |= HMMFlags.RF
+    if has_cs:
+        hmm.consensus_structure = "".join(cs).encode()
+        hmm.flags |= HMMFlags.CS
+
+    hmm.renormalize()
+    hmm.set_consensus()
+
+    while i < len(lines) and lines[i].strip() != "//":
+        i += 1
+    return hmm, i + 1
 
 
 # ---------------------------------------------------------------------------

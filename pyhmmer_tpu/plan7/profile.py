@@ -101,6 +101,10 @@ class Profile:
         M = self.M = hmm.M
         self.multihit = multihit
         self.local = local
+        # keep the core model: scans over optimized-profile databases
+        # reconstruct their pipelines from it (reference hmmscan converts
+        # the other way, HMM -> OptimizedProfile, _hmmscan.py:190-215)
+        self._hmm = hmm
         self.name = hmm.name
         self.accession = hmm.accession
         self.description = hmm.description
@@ -200,7 +204,14 @@ class Profile:
 
     def copy(self) -> "Profile":
         import copy as _copy
-        out = _copy.deepcopy(self)
+        hmm = self.__dict__.pop("_hmm", None)
+        try:
+            out = _copy.deepcopy(self)
+        finally:
+            if hmm is not None:
+                self._hmm = hmm
+        if hmm is not None:
+            out._hmm = hmm   # share: profiles never mutate the core model
         # drop cached native score tensors: a copied profile is usually
         # copied to be mutated, and the cache would silently serve the
         # original's scores to the native kernels
