@@ -32,7 +32,8 @@ from .easel.sequence import DigitalSequence, DigitalSequenceBlock
 from .plan7.hmm import HMM
 from .plan7.background import Background
 from .plan7.profile import Profile
-from .plan7.pipeline import Pipeline, F3_SLACK, LOG2, MAX_TARGET_LENGTH
+from .plan7.pipeline import (Pipeline, F2_SKIP_SLACK, F3_SLACK, LOG2,
+                             MAX_TARGET_LENGTH)
 from .plan7.evalues import gumbel_surv, exp_surv
 from .plan7.results import TopHits
 from .ops import reference as refops
@@ -486,7 +487,9 @@ class SearchEngine:
                 L = np.maximum(lengths.astype(np.float64), 1.0)
                 nullsc = (L * np.log(L / (L + 1.0))
                           + np.log(1.0 / (L + 1.0)))          # [B]
-                usc = dx / st.pb.scale_b - 3.0
+                from .ops.quantize import tjb_units
+                usc = ((dx - tjb_units(np.maximum(lengths, 1))
+                        [None, :]) / st.pb.scale_b - 3.0)
                 usc[ovf > 0] = np.inf
 
                 P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
@@ -536,7 +539,7 @@ class SearchEngine:
                         if len(cols) == 0:
                             continue
                         ev = st.ev[pi]
-                        skip = P1b[pi, cols] <= pli.F2
+                        skip = P1b[pi, cols] <= pli.F2 * F2_SKIP_SLACK
                         pli.n_past_vit += int(skip.sum())
                         vmin = (filtersc[pi, cols]
                                 + LOG2 * (ev[2]
@@ -591,7 +594,7 @@ class SearchEngine:
             # F3 * F3_SLACK gate)
             pass_fwd = c["pass2"][:, bsel] & (P3 <= st.F3
                                               * F3_SLACK * 1.5)
-            skip_vit = c["P1b"][:, bsel] <= st.F2
+            skip_vit = c["P1b"][:, bsel] <= st.F2 * F2_SKIP_SLACK
             need_vit = pass_fwd & ~skip_vit
             c["pass_fwd"] = pass_fwd
             c["need_vit"] = need_vit

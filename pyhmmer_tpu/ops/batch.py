@@ -270,7 +270,9 @@ def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray,
         dev.codes, dev.mask_f,
         *pb.device("msv_cost", "msv_bias", "msv_tec", "msv_tbm"),
         dev.tjb, pb.Kp)
-    usc = np.asarray(dx, np.float64) / scale - 3.0
+    from .quantize import tjb_units
+    usc = ((np.asarray(dx, np.float64)
+            - tjb_units(np.maximum(lengths, 1))[None, :]) / scale - 3.0)
     usc[np.asarray(ovf)] = np.inf
     return usc
 

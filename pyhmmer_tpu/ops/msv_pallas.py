@@ -169,6 +169,9 @@ def msv_scores_pallas(pb, codes: np.ndarray, lengths: np.ndarray,
     R = _strip_r(t["cost"].shape[1], dev.Bpad)
     dx, ovf = _msv_pallas(dev.strips(R), t["cost"], dev.tjb_row,
                           t["scal"], R)
-    usc = np.asarray(dx, np.float64)[:, :B] / pb.scale_b - 3.0
+    from .quantize import tjb_units
+    usc = ((np.asarray(dx, np.float64)[:, :B]
+            - tjb_units(np.maximum(lengths, 1))[None, :])
+           / pb.scale_b - 3.0)
     usc[np.asarray(ovf)[:, :B] > 0] = np.inf
     return usc

@@ -32,6 +32,17 @@ class MSVQuant:
             -self.scale_b * np.log(3.0 / (L + 3.0)))).astype(np.int32)
 
 
+def tjb_units(L) -> np.ndarray:
+    """N->B / J->B / C->T move cost in 1/3-bit units for length(s) L
+    (``p7_oprofile_ReconfigMSVLength`` rounding).  The batched kernels
+    return ``xJ - base``; the final usc must charge one more of these
+    for the C->T move."""
+    scale_b = 3.0 / np.log(2.0)
+    L = np.asarray(L, dtype=np.float64)
+    return np.minimum(255, np.rint(
+        -scale_b * np.log(3.0 / (L + 3.0)))).astype(np.int32)
+
+
 def quantize_msv(prof) -> MSVQuant:
     """Build the uint8 MSV scoring system for a configured profile."""
     scale_b = 3.0 / np.log(2.0)

@@ -356,10 +356,12 @@ def msv_score_quantized(prof, dsq: np.ndarray) -> float:
         xJ = max(xJ, xE - tec_b)
         xB = max(base_b, xJ) - tjb_b   # N->B / J->B move cost, every row
         mpv = sv
-    # the constant restores the ignored NN/CC/JJ loop costs
-    # (~ L log L/(L+3) -> -3 nats); no explicit final move is charged,
-    # matching the uint8 filter's score convention
-    return (float(xJ) - float(base_b)) / scale_b - 3.0
+    # final C->T move (one more tjb charge), then the constant restores
+    # the ignored NN/CC/JJ loop costs (~ L log L/(L+3) -> -3 nats) --
+    # p7_MSVFilter's return convention.  Without the final move the score
+    # is inflated by ~4.6 nats and the calibrated MSV Gumbel (STATS MSV)
+    # admits ~85% of random targets through the F1=0.02 gate.
+    return (float(xJ) - float(tjb_b) - float(base_b)) / scale_b - 3.0
 
 
 def ssv_score(prof, dsq: np.ndarray) -> float:

@@ -93,7 +93,8 @@ class ShardedCascade:
                                 tjb_d, pb.Kp)
         # cross-device reduction: number of passing pairs (replicated out)
         n_pass = int(jnp.sum((dx > 0) & ~ovf))
-        usc = np.asarray(dx, np.float64)[:P_, :Breal] / scale - 3.0
+        usc = ((np.asarray(dx, np.float64)[:P_, :Breal]
+                - tjb[None, :Breal]) / scale - 3.0)
         ovf_np = np.asarray(ovf)[:P_, :Breal]
         usc[ovf_np] = np.inf
         return usc, ovf_np, n_pass

@@ -48,6 +48,15 @@ MAX_TARGET_LENGTH = 100_000
 #: controlled by the E-value thresholds, not the gates.
 F2_SLACK = 1.0
 F3_SLACK = 3.1
+#: Slack on the skip-Viterbi decision (run Viterbi only when the
+#: bias-corrected MSV P exceeds F2 * F2_SKIP_SLACK).  Our composition
+#: filter never produces the negative corrections the reference's
+#: p7_bg_FilterScore gives anti-correlated targets (PARITY_NOTES gap #1),
+#: so weak-but-real hits that skip Viterbi in the reference sit a factor
+#: ~2-3 above F2 here; without the slack they run Viterbi and die at the
+#: strict F2 gate (e.g. golden PF02826 hit HG003686_235, P1b=2.5e-3,
+#: vit P=5.7e-3).
+F2_SKIP_SLACK = 3.0
 
 
 class Pipeline:
@@ -180,7 +189,7 @@ class Pipeline:
         self.n_past_bias += 1
 
         # 3. Viterbi filter (skipped when MSV P already beats F2)
-        if P > self.F2:
+        if P > self.F2 * F2_SKIP_SLACK:
             vfsc = ref.viterbi_score(prof, dsq)
             seq_score = (vfsc - filtersc) / LOG2
             P = float(gumbel_surv(seq_score, ev[2], ev[3]))

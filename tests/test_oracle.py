@@ -59,13 +59,37 @@ def test_posterior_rows_sum_to_one(setup):
 
 
 def test_msv_quantized_vs_float(setup):
-    """Quantized MSV should track the float MSV within rounding + the
-    missing final-move convention (a few nats)."""
+    """Quantized MSV must track the float MSV within 1/3-bit rounding
+    noise: the calibrated MSV Gumbel (STATS MSV) describes the filter
+    score, so a constant offset here directly corrupts the F1 gate's
+    pass rate (this caught a missing final C->T move that admitted ~85%
+    of random targets)."""
     hmm, bg, seqs = setup
     sq = seqs["938293.PRJEB85.HG003687_187"]
     prof = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, len(sq))
     uq = ref.msv_score_quantized(prof, sq.sequence)
     uf = ref.msv_score(prof, sq.sequence)
     assert np.isfinite(uq)
-    assert uq > uf            # quantized convention sits above float
-    assert uq - uf < 8.0      # but within the known offset + noise
+    assert abs(uq - uf) < 1.5
+
+
+def test_msv_quantized_random_pvalues(setup):
+    """On i.i.d. random sequences the calibrated MSV Gumbel should put
+    the median quantized filter score near the distribution's bulk
+    (median survival ~0.2-0.6), i.e. the F1=0.02 gate passes only a few
+    percent -- the property the cascade's economics depend on."""
+    from pyhmmer_tpu.plan7.evalues import gumbel_surv
+    hmm, bg, seqs = setup
+    rng = np.random.default_rng(11)
+    L = 320
+    prof = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, L)
+    nullsc = L * np.log(L / (L + 1.0)) + np.log(1.0 / (L + 1.0))
+    ps = []
+    for _ in range(20):
+        dsq = rng.integers(0, 20, size=L).astype(np.uint8)
+        uq = ref.msv_score_quantized(prof, dsq)
+        ps.append(float(gumbel_surv((uq - nullsc) / LN2,
+                                    prof.evparam[0], prof.evparam[1])))
+    med = float(np.median(ps))
+    assert 0.1 < med < 0.8
+    assert np.mean(np.asarray(ps) <= 0.02) <= 0.2
