@@ -1616,8 +1616,10 @@ double hmmdp_bias_filter(const uint8_t* dsq, int32_t L,
     if (L <= 0) return 0.0;
     double p1 = (double)L / (double)(L + 1);
     double t00 = p1, t01 = 1.0 - p1;
-    const double t11 = 10.0 / 11.0, t10 = 1.0 / 11.0;
-    double a0 = 0.5, a1 = 0.5 * odds1[dsq[0]];
+    // state-1 dwell 50, entry pi=(0.999, 0.001): calibrated against the
+    // full PF02826+RREFam golden tables (see Background.filter_score)
+    const double t11 = 50.0 / 51.0, t10 = 1.0 / 51.0;
+    double a0 = 0.999, a1 = 0.001 * odds1[dsq[0]];
     double logsc = 0.0;
     for (int32_t i = 1; i < L; i++) {
         double n0 = a0 * t00 + a1 * t10;

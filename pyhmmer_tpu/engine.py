@@ -179,8 +179,15 @@ class _ChunkState:
         bg = engine.background
         self.chunk = chunk
 
+        # keyed by object identity; the cached value holds references to
+        # the exact HMM objects, so a key can never alias a freed id --
+        # the identity check below turns any violation into a rebuild
+        # instead of a stale-tensor search
         key = (tuple(id(queries[qi]) for qi in chunk), Mp)
         cached = engine._model_cache.get(key)
+        if cached is not None and any(
+                h is not queries[qi] for h, qi in zip(cached[0], chunk)):
+            cached = None
         if cached is None:
             profs, profs_uni = [], []
             for qi in chunk:

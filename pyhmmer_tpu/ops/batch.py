@@ -287,8 +287,8 @@ def bias_filter_scores(pb: ProfileBatch, codes: np.ndarray,
     """Composition bias filter scores in nats, [P, B].
 
     Matches ``Background.filter_score`` (state-0 loop = p1, state-1 mean
-    dwell 10, 50/50-smoothed compo odds)."""
-    mean1 = 10.0
+    dwell 50, entry pi=(0.999, 0.001), 50/50-smoothed compo odds)."""
+    mean1 = 50.0
     t11 = np.float32(mean1 / (mean1 + 1.0))
     dev = dev or SeqDevice(codes, lengths)
     out = _bias_scan(dev.codes, dev.mask_b,
@@ -312,9 +312,9 @@ def _bias_scan(codes, mask, odds, p1, t11, Kp):
         onehot = jax.nn.one_hot(x, Kp, dtype=jnp.float32)
         ov = jnp.einsum("bk,pk->pb", onehot, odds,
                         preferred_element_type=jnp.float32)
-        # first valid residue: initialize pi=(0.5, 0.5) with emission
-        na0_f = jnp.full_like(a0, 0.5)
-        na1_f = 0.5 * ov
+        # first valid residue: initialize pi=(0.999, 0.001) with emission
+        na0_f = jnp.full_like(a0, 0.999)
+        na1_f = 0.001 * ov
         na0_c = a0 * t00 + a1 * t10
         na1_c = (a0 * t01 + a1 * t11) * ov
         first = ~started[None, :] if started.ndim == 1 else ~started

