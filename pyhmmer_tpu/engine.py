@@ -50,9 +50,15 @@ DEFAULT_BUCKET_AREA = 1 << 18
 class _Buckets:
     """Length-bucketed packing of a target block.
 
-    Bucket shapes come from a fixed ladder (Lmax = 128 * 2^k, B chosen so
-    B * Lmax ~ area, padded with empty rows) so kernel shapes -- and thus
-    XLA compilations -- are shared across queries and databases.
+    One bucket per ladder level (Lmax = 512 * 4^k): the Pallas scan
+    kernels are latency-bound per sequence row, so the widest possible
+    lane dimension per level minimizes total row-steps AND collapses the
+    per-(chunk, bucket) stage kernels into one per (chunk, level) --
+    stage-2 survivors of a whole level share one Forward call instead of
+    one per area-capped sub-bucket.  Lane counts are padded up a
+    power-of-two ladder so kernel shapes (and thus XLA compilations) are
+    bounded across databases; the per-level lane cap bounds device codes
+    memory for very long levels.
     """
 
     def __init__(self, block: DigitalSequenceBlock, area: int = DEFAULT_BUCKET_AREA):
@@ -64,14 +70,12 @@ class _Buckets:
             lo = 0 if li == 0 else ladder[li - 1]
             sel = np.where((lengths > lo if li else lengths >= 1)
                            & (lengths <= Lmax))[0]
-            if li == 0:
-                sel = np.where((lengths >= 1) & (lengths <= Lmax))[0]
             if len(sel) == 0:
                 continue
-            Bfull = max(8, area // Lmax)
-            for s0 in range(0, len(sel), Bfull):
-                idx = sel[s0: s0 + Bfull]
-                Bp = Bfull if len(sel) > Bfull else _pad_b(len(idx))
+            Bcap = max(64, (1 << 22) // Lmax)
+            for s0 in range(0, len(sel), Bcap):
+                idx = sel[s0: s0 + Bcap]
+                Bp = _pad_b(len(idx))
                 codes = np.full((Bp, Lmax), fill, dtype=np.uint8)
                 blens = np.zeros(Bp, dtype=np.int64)
                 for r, s in enumerate(idx):
@@ -115,15 +119,17 @@ import jax as _jax
 from functools import partial as _partial
 
 
-@_partial(_jax.jit, static_argnames=("R",))
-def _gather_survivors_strips(codes_t, lens_d, ridx, R):
+@_partial(_jax.jit, static_argnames=("R", "Bt"))
+def _gather_survivors_strips(codes_t, lens_d, ridx, R, Bt):
     """Like :func:`_gather_survivors` but returns strip-packed codes
-    ``[L/R, R*Bp]`` for the v2 Forward kernel."""
+    ``[L/R, R*Bp]`` (tile-major over lane tiles of width ``Bt``, see
+    ``SeqDevice.strips``) for the v2 Forward kernel."""
     valid = ridx >= 0
     r = jnp.maximum(ridx, 0)
     ct = jnp.take(codes_t, r, axis=1)
     L, Bp = ct.shape
-    strips = ct.reshape(L // R, R * Bp)
+    strips = (ct.reshape(L // R, R, Bp // Bt, Bt)
+              .transpose(0, 2, 1, 3).reshape(L // R, R * Bp))
     lens = jnp.where(valid, jnp.take(lens_d, r), 0).astype(jnp.int32)
     Lf = jnp.maximum(lens.astype(jnp.float32), 1.0)
     pmove = 3.0 / (Lf + 3.0)
@@ -269,11 +275,12 @@ class SearchEngine:
         """Returns (dx, ovf) device arrays [P, B] f32 (pre-scale)."""
         if self.use_pallas:
             from .ops.msv_pallas import (_msv_pallas, _strip_r,
-                                         build_msv_tensors)
+                                         _lane_tile, build_msv_tensors)
             t = build_msv_tensors(pb)
-            R = _strip_r(t["cost"].shape[1], dev.Bpad)
-            dx, ovf = _msv_pallas(dev.strips(R), t["cost"], dev.tjb_row,
-                                  t["scal"], R)
+            Bt = _lane_tile(dev.Lmax, dev.Bpad)
+            R = _strip_r(t["cost"].shape[1], Bt)
+            dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"],
+                                  dev.tjb_row, t["scal"], R, Bt)
             return dx[:, : dev.B], ovf[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
@@ -308,12 +315,15 @@ class SearchEngine:
         on tunneled TPU setups and dominated stage time."""
         if self.use_pallas:
             from .ops import fwd_pallas as FP
+            from .ops.msv_pallas import _lane_tile
             t = FP.build_fwd_tensors2(pb)
-            R = FP._strip_r_fwd(t["Mp"], int(ridx_dev.shape[0]))
+            Bp = int(ridx_dev.shape[0])
+            Bt = _lane_tile(dev.Lmax, Bp)
+            R = FP._strip_r_fwd(t["Mp"], Bt)
             strips, lens, lm = _gather_survivors_strips(
-                dev.codes_t, dev.lens_d, ridx_dev, R)
+                dev.codes_t, dev.lens_d, ridx_dev, R, Bt)
             out = FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
-                                  t["etr2"], t["sdd"], lm, R)
+                                  t["etr2"], t["sdd"], lm, R, Bt)
             return out, n
         from .ops.batch import _forward_kernel
         codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)

@@ -239,18 +239,23 @@ def _pad8(n):
     return ((n + 7) // 8) * 8
 
 
-def _seqdev_strips(self, R: int):
-    """Strip-packed codes for the Pallas MSV kernel: row s holds sequence
-    rows ``s*R .. s*R+R-1`` concatenated along lanes ``[L/R, R*Bpad]``.
-    Cached per R (R depends on the profile stack's Mp via the VMEM
-    budget)."""
-    d = self._strips.get(R)
+def _seqdev_strips(self, R: int, Bt: int = 0):
+    """Strip-packed codes for the Pallas MSV kernel: ``[L/R, R*Bpad]``
+    where row s holds sequence rows ``s*R .. s*R+R-1``.  With a lane
+    tile ``Bt`` the packing is tile-major -- column ``b*(R*Bt) + r*Bt +
+    j`` holds row ``s*R+r`` of lane ``b*Bt+j`` -- so a kernel whose grid
+    tiles lanes sees a contiguous per-tile strip block.  Cached per
+    (R, Bt) (both depend on the profile stack's Mp via VMEM budgets)."""
+    L, Bp = self._codes_tp_host.shape
+    if not Bt:
+        Bt = Bp
+    d = self._strips.get((R, Bt))
     if d is None:
-        L, Bp = self._codes_tp_host.shape
-        assert L % R == 0, (L, R)
+        assert L % R == 0 and Bp % Bt == 0, (L, R, Bp, Bt)
         d = jnp.asarray(
-            self._codes_tp_host.reshape(L // R, R * Bp), jnp.int32)
-        self._strips[R] = d
+            self._codes_tp_host.reshape(L // R, R, Bp // Bt, Bt)
+            .transpose(0, 2, 1, 3).reshape(L // R, R * Bp), jnp.int32)
+        self._strips[(R, Bt)] = d
     return d
 
 

@@ -274,7 +274,7 @@ def _strip_r_fwd(Mp: int, B: int) -> int:
 
 def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
                lm_ref, out_ref, mrow, irow, spec, emstrip, eistrip, *, R):
-    """grid (P,): one profile x the full lane-padded survivor batch.
+    """grid (P, nBt): one profile x one lane tile of the survivor batch.
 
     Per-row critical path: the DD-path matmul consumes the PREVIOUS row's
     match vector (ready at iteration start, so Mosaic can overlap it with
@@ -370,43 +370,46 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
     out_ref[...] = score[None]
 
 
-@partial(jax.jit, static_argnames=("R",))
-def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R):
-    """lens [1, B] i32; codes_strips [L/R, R*B] i32; ems/eis
-    [P, Mp, KP_PAD] f32; etr [P, Mp, 8] f32 (slot 6 = w_e); sdd
-    [P, Mp, Mp] f32 (pre-shifted eDM-scaled DD transfer); lm [4, B] f32.
-    Returns scores [P, B] f32 nats."""
+@partial(jax.jit, static_argnames=("R", "Bt"))
+def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R, Bt=0):
+    """lens [1, B] i32; codes_strips [L/R, R*B] i32 (tile-major when
+    Bt < B, see ``SeqDevice.strips``); ems/eis [P, Mp, KP_PAD] f32; etr
+    [P, Mp, 8] f32 (slot 6 = w_e); sdd [P, Mp, Mp] f32 (pre-shifted
+    eDM-scaled DD transfer); lm [4, B] f32; Bt = lane-tile width
+    (0 = whole B).  Returns scores [P, B] f32 nats."""
     P, Mp, _ = ems.shape
     nS, RB = codes_strips.shape
     B = RB // R
+    if not Bt:
+        Bt = B
     out = pl.pallas_call(
         partial(_fwd2_body, R=R),
-        grid=(P,),
+        grid=(P, B // Bt),
         in_specs=[
-            pl.BlockSpec((1, B), lambda p: (0, 0),
+            pl.BlockSpec((1, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nS, RB), lambda p: (0, 0),
+            pl.BlockSpec((nS, R * Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, 8), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, Mp, 8), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Mp), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, Mp, Mp), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, B), lambda p: (0, 0),
+            pl.BlockSpec((4, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Mp, B), jnp.float32),
-            pltpu.VMEM((Mp, B), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
-            pltpu.VMEM((Mp, R * B), jnp.float32),
-            pltpu.VMEM((Mp, R * B), jnp.float32),
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((8, Bt), jnp.float32),
+            pltpu.VMEM((Mp, R * Bt), jnp.float32),
+            pltpu.VMEM((Mp, R * Bt), jnp.float32),
         ],
     )(lens, codes_strips, ems, eis, etr, sdd, lm)
     return out[:, 0, :]

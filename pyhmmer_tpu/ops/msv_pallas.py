@@ -42,9 +42,23 @@ def _strip_r(Mp: int, Bt: int) -> int:
     return r
 
 
+def _lane_tile(Lmax: int, Bpad: int, budget: int = 1 << 19) -> int:
+    """Lane-tile width for the scan kernels: the widest power-of-two tile
+    whose whole-length codes block stays within ``budget`` int32 elements
+    (~2 MB VMEM at the default), dividing ``Bpad``, >= 128.  Wider tiles
+    amortize the per-row scan latency over more lanes (lanes are nearly
+    free; rows x grid steps are the cost), narrower tiles bound VMEM for
+    long-sequence buckets."""
+    bt = 128
+    while (bt * 2 <= Bpad and Bpad % (bt * 2) == 0
+           and Lmax * bt * 2 <= budget):
+        bt *= 2
+    return min(bt, Bpad) if Bpad >= 128 else Bpad
+
+
 def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
               mpv, xj, *, R):
-    """grid (P,): one profile x the full lane-padded bucket.
+    """grid (P, nBt): one profile x one lane tile of the bucket.
 
     ``codes_ref`` is strip-packed ``[L/R, R*Bt]`` (host layout: row s holds
     sequence rows s*R..s*R+R-1 concatenated along lanes), so the one-hot
@@ -98,32 +112,35 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
     ovf_ref[...] = (xj[...] >= 255.0 - bias - tec).astype(jnp.float32)[None]
 
 
-@partial(jax.jit, static_argnames=("R",))
-def _msv_pallas(codes_strips, cost, tjb, scal, R):
-    """codes_strips [L/R, R*B] int32 strip-packed (nonresidue-padded);
-    cost [P, Mp, KP_PAD] f32 quantized biased costs (255 in padding);
-    tjb [1, B] f32; scal [P, 4] f32 (bias, tec, tbm, -).
+@partial(jax.jit, static_argnames=("R", "Bt"))
+def _msv_pallas(codes_strips, cost, tjb, scal, R, Bt=0):
+    """codes_strips [L/R, R*B] int32 strip-packed tile-major
+    (nonresidue-padded); cost [P, Mp, KP_PAD] f32 quantized biased costs
+    (255 in padding); tjb [1, B] f32; scal [P, 4] f32 (bias, tec, tbm,
+    -); Bt = lane-tile width (0 = whole B).
     Returns (xJ - base) [P, B] f32 and overflow flags [P, B] f32."""
     P, Mp, _ = cost.shape
     nS, RB = codes_strips.shape
     B = RB // R
-    grid = (P,)
+    if not Bt:
+        Bt = B
+    grid = (P, B // Bt)
     out, ovf = pl.pallas_call(
         partial(_msv_body, R=R),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nS, RB), lambda p: (0, 0),
+            pl.BlockSpec((nS, R * Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, KP_PAD), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, Mp, KP_PAD), lambda p, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda p: (0, 0),
+            pl.BlockSpec((1, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [P, 4], full
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -131,8 +148,8 @@ def _msv_pallas(codes_strips, cost, tjb, scal, R):
             jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Mp, B), jnp.float32),
-            pltpu.VMEM((1, B), jnp.float32),
+            pltpu.VMEM((Mp, Bt), jnp.float32),
+            pltpu.VMEM((1, Bt), jnp.float32),
         ],
     )(codes_strips, cost, tjb, scal)
     return out[:, 0, :], ovf[:, 0, :]
@@ -166,9 +183,10 @@ def msv_scores_pallas(pb, codes: np.ndarray, lengths: np.ndarray,
     if dev is None:
         dev = _batch.SeqDevice(codes, lengths)
     t = build_msv_tensors(pb)
-    R = _strip_r(t["cost"].shape[1], dev.Bpad)
-    dx, ovf = _msv_pallas(dev.strips(R), t["cost"], dev.tjb_row,
-                          t["scal"], R)
+    Bt = _lane_tile(dev.Lmax, dev.Bpad)
+    R = _strip_r(t["cost"].shape[1], Bt)
+    dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
+                          t["scal"], R, Bt)
     from .quantize import tjb_units
     usc = ((np.asarray(dx, np.float64)[:, :B]
             - tjb_units(np.maximum(lengths, 1))[None, :])
