@@ -42,7 +42,13 @@ from .ops import batch as B
 __all__ = ["SearchEngine"]
 
 #: max profiles stacked per kernel call
-DEFAULT_P_MAX = 16
+# Profiles per chunk: each (chunk, bucket) pair is ONE kernel execution
+# whose grid carries the P dimension, so stacking more profiles per chunk
+# divides the per-execution fixed cost (~10 ms on tunneled chips, measured)
+# without touching per-grid-step VMEM.  64 keeps compile shapes bounded
+# (P is padded to a multiple of 8) while making launch overhead negligible
+# for realistic query stacks.
+DEFAULT_P_MAX = int(os.environ.get("PYHMMER_TPU_P_MAX", "64"))
 #: target area (B * Lmax) per sequence bucket
 DEFAULT_BUCKET_AREA = 1 << 18
 
