@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <type_traits>
 
 namespace {
 
@@ -20,58 +21,39 @@ constexpr double NEGMASS = -1e30;
 constexpr double RESCALE_HI = 1e250;
 constexpr double TINY = 1e-290;
 
+// The row-DP scalar type.  The parser/rescore/decode paths run in
+// float32 -- the same precision class as the reference's striped SSE
+// kernels (impl_sse/fwdback.c uses f32 + the FLogsum table; our f32 is
+// strictly more accurate) -- with per-row max rescaling keeping raw odds
+// in [0, 1] and all log-scale accumulation in float64.  The legacy
+// log-space keep==0/1 entry points stay float64 (templated).
+template <typename T> struct row_tiny;
+template <> struct row_tiny<double> { static constexpr double v = 1e-290; };
+template <> struct row_tiny<float>  { static constexpr float  v = 1e-30f; };
+
 inline double xexp(double a) { return a <= -5e29 ? 0.0 : std::exp(a); }
 
 inline double xlog(double a, double sc) {
     return a > 0.0 ? std::log(a) + sc : NEGMASS;
 }
 
-// Length-independent odds tables for one profile.  Building these costs
-// ~10k exp() calls; a handle is exposed through the C ABI so Python can
-// build them ONCE per profile (ops/native.py prewarm) instead of paying
-// per domaindef/forward call.
-struct ExpCore {
-    double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
-    double *eDD2, *eDD4;        // 2- and 4-step DD chain products (fwd)
-    double *eDD2r, *eDD4r;      // reverse-chain products (backward)
-    double *ems, *eis;          // [Kp * (M+1)] odds
-    int M, Kp;
+// One precision's view of the odds tables.
+template <typename T>
+struct Tables {
+    T *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
+    T *eDD2, *eDD4;        // 2- and 4-step DD chain products (fwd)
+    T *eDD2r, *eDD4r;      // reverse-chain products (backward)
+    T *ems, *eis;          // [Kp * (M+1)] odds
 
-    ExpCore(const double* tBM, const double* tMM, const double* tIM,
-            const double* tDM, const double* tMD, const double* tDD,
-            const double* tMI, const double* tII,
-            const double* msc, const double* isc,
-            int M_, int Kp_) : M(M_), Kp(Kp_) {
-        int W = M + 1;
-        eBM = new double[M]; eMM = new double[M]; eIM = new double[M];
-        eDM = new double[M]; eMD = new double[M]; eDD = new double[M];
-        eMI = new double[W]; eII = new double[W];
-        ems = new double[(size_t)Kp * W]; eis = new double[(size_t)Kp * W];
-        for (int k = 0; k < M; k++) {
-            eBM[k] = xexp(tBM[k]); eMM[k] = xexp(tMM[k]);
-            eIM[k] = xexp(tIM[k]); eDM[k] = xexp(tDM[k]);
-            eMD[k] = xexp(tMD[k]); eDD[k] = xexp(tDD[k]);
-        }
-        for (int k = 0; k < W; k++) { eMI[k] = xexp(tMI[k]); eII[k] = xexp(tII[k]); }
-        for (size_t i = 0; i < (size_t)Kp * W; i++) {
-            ems[i] = xexp(msc[i]); eis[i] = xexp(isc[i]);
-        }
-        eDD2 = new double[W](); eDD4 = new double[W]();
-        for (int k = 2; k <= M; k++) {
-            // forward chain-step products ENDING at nd[k]: d[k] = eDD[k-1]
-            eDD2[k] = (k >= 2) ? eDD[k - 1] * eDD[k - 2] : 0.0;
-            eDD4[k] = (k >= 4)
-                ? eDD[k - 1] * eDD[k - 2] * eDD[k - 3] * eDD[k - 4] : 0.0;
-        }
-        eDD2r = new double[W](); eDD4r = new double[W]();
-        for (int k = 1; k <= M; k++) {
-            // backward chain-step products: step into nd[k] is eDD[k]
-            eDD2r[k] = (k + 1 <= M - 1) ? eDD[k] * eDD[k + 1] : 0.0;
-            eDD4r[k] = (k + 3 <= M - 1)
-                ? eDD[k] * eDD[k + 1] * eDD[k + 2] * eDD[k + 3] : 0.0;
-        }
+    void alloc(int M, int W, int Kp) {
+        eBM = new T[M]; eMM = new T[M]; eIM = new T[M];
+        eDM = new T[M]; eMD = new T[M]; eDD = new T[M];
+        eMI = new T[W]; eII = new T[W];
+        ems = new T[(size_t)Kp * W]; eis = new T[(size_t)Kp * W];
+        eDD2 = new T[W](); eDD4 = new T[W]();
+        eDD2r = new T[W](); eDD4r = new T[W]();
     }
-    ~ExpCore() {
+    void free() {
         delete[] eBM; delete[] eMM; delete[] eIM; delete[] eDM;
         delete[] eMD; delete[] eDD; delete[] eMI; delete[] eII;
         delete[] eDD2; delete[] eDD4;
@@ -80,10 +62,82 @@ struct ExpCore {
     }
 };
 
+// Length-independent odds tables for one profile.  Building these costs
+// ~10k exp() calls; a handle is exposed through the C ABI so Python can
+// build them ONCE per profile (ops/native.py prewarm) instead of paying
+// per domaindef/forward call.  Both float64 and float32 mirrors are
+// kept: the hot domaindef paths run f32 rows, the legacy log-space
+// entry points f64.
+struct ExpCore {
+    Tables<double> td;
+    Tables<float> tf;
+    int M, Kp;
+
+    template <typename T> const Tables<T>& tables() const;
+
+    ExpCore(const double* tBM, const double* tMM, const double* tIM,
+            const double* tDM, const double* tMD, const double* tDD,
+            const double* tMI, const double* tII,
+            const double* msc, const double* isc,
+            int M_, int Kp_) : M(M_), Kp(Kp_) {
+        int W = M + 1;
+        td.alloc(M, W, Kp);
+        tf.alloc(M, W, Kp);
+        for (int k = 0; k < M; k++) {
+            td.eBM[k] = xexp(tBM[k]); td.eMM[k] = xexp(tMM[k]);
+            td.eIM[k] = xexp(tIM[k]); td.eDM[k] = xexp(tDM[k]);
+            td.eMD[k] = xexp(tMD[k]); td.eDD[k] = xexp(tDD[k]);
+        }
+        for (int k = 0; k < W; k++) {
+            td.eMI[k] = xexp(tMI[k]); td.eII[k] = xexp(tII[k]);
+        }
+        for (size_t i = 0; i < (size_t)Kp * W; i++) {
+            td.ems[i] = xexp(msc[i]); td.eis[i] = xexp(isc[i]);
+        }
+        for (int k = 2; k <= M; k++) {
+            // forward chain-step products ENDING at nd[k]: d[k] = eDD[k-1]
+            td.eDD2[k] = (k >= 2) ? td.eDD[k - 1] * td.eDD[k - 2] : 0.0;
+            td.eDD4[k] = (k >= 4)
+                ? td.eDD[k - 1] * td.eDD[k - 2] * td.eDD[k - 3]
+                  * td.eDD[k - 4] : 0.0;
+        }
+        for (int k = 1; k <= M; k++) {
+            // backward chain-step products: step into nd[k] is eDD[k]
+            td.eDD2r[k] = (k + 1 <= M - 1) ? td.eDD[k] * td.eDD[k + 1] : 0.0;
+            td.eDD4r[k] = (k + 3 <= M - 1)
+                ? td.eDD[k] * td.eDD[k + 1] * td.eDD[k + 2]
+                  * td.eDD[k + 3] : 0.0;
+        }
+        // float mirrors (rounded from the f64 tables)
+        for (int k = 0; k < M; k++) {
+            tf.eBM[k] = (float)td.eBM[k]; tf.eMM[k] = (float)td.eMM[k];
+            tf.eIM[k] = (float)td.eIM[k]; tf.eDM[k] = (float)td.eDM[k];
+            tf.eMD[k] = (float)td.eMD[k]; tf.eDD[k] = (float)td.eDD[k];
+        }
+        for (int k = 0; k < W; k++) {
+            tf.eMI[k] = (float)td.eMI[k]; tf.eII[k] = (float)td.eII[k];
+            tf.eDD2[k] = (float)td.eDD2[k]; tf.eDD4[k] = (float)td.eDD4[k];
+            tf.eDD2r[k] = (float)td.eDD2r[k];
+            tf.eDD4r[k] = (float)td.eDD4r[k];
+        }
+        for (size_t i = 0; i < (size_t)Kp * W; i++) {
+            tf.ems[i] = (float)td.ems[i]; tf.eis[i] = (float)td.eis[i];
+        }
+    }
+    ~ExpCore() { td.free(); tf.free(); }
+};
+
+template <> inline const Tables<double>& ExpCore::tables<double>() const {
+    return td;
+}
+template <> inline const Tables<float>& ExpCore::tables<float>() const {
+    return tf;
+}
+
 struct ExpProf {
+    const ExpCore* core;
+    // f64 aliases for the scalar/sampling code paths
     const double *eBM, *eMM, *eIM, *eDM, *eMD, *eDD, *eMI, *eII;
-    const double *eDD2, *eDD4, *eDD2r, *eDD4r;
-    const double *ems, *eis;    // borrowed from core (owned or cached)
     double eE[2], eN[2], eJ[2], eC[2];
     int M, Kp;
     ExpCore* owned = nullptr;
@@ -94,18 +148,16 @@ struct ExpProf {
             const double* msc, const double* isc,
             const double* xE, const double* xN, const double* xJ,
             const double* xC, int M_, int Kp_,
-            const ExpCore* core = nullptr) : M(M_), Kp(Kp_) {
-        if (core == nullptr) {
+            const ExpCore* core_ = nullptr) : M(M_), Kp(Kp_) {
+        if (core_ == nullptr) {
             owned = new ExpCore(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII,
                                 msc, isc, M_, Kp_);
-            core = owned;
+            core_ = owned;
         }
-        eBM = core->eBM; eMM = core->eMM; eIM = core->eIM;
-        eDM = core->eDM; eMD = core->eMD; eDD = core->eDD;
-        eMI = core->eMI; eII = core->eII;
-        eDD2 = core->eDD2; eDD4 = core->eDD4;
-        eDD2r = core->eDD2r; eDD4r = core->eDD4r;
-        ems = core->ems; eis = core->eis;
+        core = core_;
+        eBM = core->td.eBM; eMM = core->td.eMM; eIM = core->td.eIM;
+        eDM = core->td.eDM; eMD = core->td.eMD; eDD = core->td.eDD;
+        eMI = core->td.eMI; eII = core->td.eII;
         for (int j = 0; j < 2; j++) {
             eE[j] = xexp(xE[j]); eN[j] = xexp(xN[j]);
             eJ[j] = xexp(xJ[j]); eC[j] = xexp(xC[j]);
@@ -119,8 +171,8 @@ struct ExpProf {
 // on glibc), which dominated domaindef wall time.  Chunks never move, so
 // pointers stay valid until release(mark).
 struct Arena {
-    struct Chunk { double* p; size_t cap; };
-    static constexpr size_t MIN_CHUNK = 1 << 18;     // doubles (2 MB)
+    struct Chunk { char* p; size_t cap; };
+    static constexpr size_t MIN_CHUNK = 1 << 21;     // bytes (2 MB)
     Chunk* chunks = nullptr;
     int nchunks = 0, capchunks = 0;
     int ci = 0;
@@ -130,10 +182,11 @@ struct Arena {
     Mark mark() const { return {ci, used}; }
     void release(Mark m) { ci = m.ci; used = m.used; }
 
-    double* alloc(size_t n) {
+    char* alloc_bytes(size_t n) {
+        n = (n + 63) & ~size_t(63);     // keep rows 64-byte aligned
         while (true) {
             if (ci < nchunks && used + n <= chunks[ci].cap) {
-                double* p = chunks[ci].p + used;
+                char* p = chunks[ci].p + used;
                 used += n;
                 return p;
             }
@@ -146,15 +199,21 @@ struct Arena {
                 chunks = nb; capchunks = nc;
             }
             size_t cap = std::max(MIN_CHUNK, n);
-            chunks[nchunks].p = new double[cap];
+            chunks[nchunks].p = static_cast<char*>(
+                ::operator new(cap, std::align_val_t(64)));
             chunks[nchunks].cap = cap;
             if (nchunks > 0) { ci = nchunks; used = 0; }
             nchunks++;
         }
     }
-    double* zalloc(size_t n) {
-        double* p = alloc(n);
-        std::memset(p, 0, n * sizeof(double));
+    template <typename T = double>
+    T* alloc(size_t n) {
+        return reinterpret_cast<T*>(alloc_bytes(n * sizeof(T)));
+    }
+    template <typename T = double>
+    T* zalloc(size_t n) {
+        T* p = alloc<T>(n);
+        std::memset(p, 0, n * sizeof(T));
         return p;
     }
 };
@@ -170,19 +229,20 @@ namespace {
 // the __restrict__ guarantees survive the row-buffer pointer swaps at the
 // call site (gcc refuses to vectorize loops whose restrict pointers are
 // std::swap'd in the enclosing scope).
+template <typename T>
 __attribute__((noinline))
 static double fwd_row_core(
     int M,
-    const double* __restrict__ ms, const double* __restrict__ is,
-    const double* __restrict__ eMM, const double* __restrict__ eIM,
-    const double* __restrict__ eDM, const double* __restrict__ eBM,
-    const double* __restrict__ eMI, const double* __restrict__ eII,
-    const double* __restrict__ eMD, const double* __restrict__ eDD,
-    const double* __restrict__ eDD2, const double* __restrict__ eDD4,
-    const double* __restrict__ mrow, const double* __restrict__ irow,
-    const double* __restrict__ drow, double bprev,
-    double* __restrict__ nm, double* __restrict__ ni,
-    double* __restrict__ nd) {
+    const T* __restrict__ ms, const T* __restrict__ is,
+    const T* __restrict__ eMM, const T* __restrict__ eIM,
+    const T* __restrict__ eDM, const T* __restrict__ eBM,
+    const T* __restrict__ eMI, const T* __restrict__ eII,
+    const T* __restrict__ eMD, const T* __restrict__ eDD,
+    const T* __restrict__ eDD2, const T* __restrict__ eDD4,
+    const T* __restrict__ mrow, const T* __restrict__ irow,
+    const T* __restrict__ drow, T bprev,
+    T* __restrict__ nm, T* __restrict__ ni,
+    T* __restrict__ nd) {
     nm[0] = 0.0; ni[0] = 0.0; nd[0] = 0.0;
     for (int k = 1; k <= M; k++) {
         nm[k] = ms[k] * (mrow[k - 1] * eMM[k - 1]
@@ -214,35 +274,37 @@ static double fwd_row_core(
         for (int k = 5; k <= M; k++)
             nd[k] += nd[k - 4] * eDD4[k];
     }
-    double e = 0.0;
-    for (int k = 1; k <= M; k++) e += nm[k];
-    for (int k = 1; k <= M; k++) e += nd[k];
-    return e;
+    T em = (T)0.0, ed = (T)0.0;
+    for (int k = 1; k <= M; k++) em += nm[k];
+    for (int k = 1; k <= M; k++) ed += nd[k];
+    return (double)em + (double)ed;
 }
 
+template <typename T>
 __attribute__((noinline))
 static double bck_b_core(
-    int M, const double* __restrict__ ms,
-    const double* __restrict__ eBM, const double* __restrict__ mrow) {
-    double b = 0.0;
+    int M, const T* __restrict__ ms,
+    const T* __restrict__ eBM, const T* __restrict__ mrow) {
+    T b = (T)0.0;
     for (int k = 1; k <= M; k++)
         b += mrow[k] * eBM[k - 1] * ms[k];
-    return b;
+    return (double)b;
 }
 
+template <typename T>
 __attribute__((noinline))
 static void bck_row_core(
     int M,
-    const double* __restrict__ ms, const double* __restrict__ is,
-    const double* __restrict__ eMM, const double* __restrict__ eIM,
-    const double* __restrict__ eDM,
-    const double* __restrict__ eMI, const double* __restrict__ eII,
-    const double* __restrict__ eMD, const double* __restrict__ eDD,
-    const double* __restrict__ eDD2r, const double* __restrict__ eDD4r,
-    const double* __restrict__ mrow, const double* __restrict__ irow,
-    double e_,
-    double* __restrict__ nm, double* __restrict__ ni,
-    double* __restrict__ nd) {
+    const T* __restrict__ ms, const T* __restrict__ is,
+    const T* __restrict__ eMM, const T* __restrict__ eIM,
+    const T* __restrict__ eDM,
+    const T* __restrict__ eMI, const T* __restrict__ eII,
+    const T* __restrict__ eMD, const T* __restrict__ eDD,
+    const T* __restrict__ eDD2r, const T* __restrict__ eDD4r,
+    const T* __restrict__ mrow, const T* __restrict__ irow,
+    T e_,
+    T* __restrict__ nm, T* __restrict__ ni,
+    T* __restrict__ nd) {
     ni[0] = 0.0;
     for (int k = 1; k < M; k++)
         ni[k] = mrow[k + 1] * eIM[k] * ms[k + 1]
@@ -273,13 +335,14 @@ static void bck_row_core(
                  + nd[k + 1] * eMD[k];
 }
 
+template <typename T>
 __attribute__((noinline))
 static void scale_store_row(
-    int W, double inv,
-    double* __restrict__ mrow, double* __restrict__ irow,
-    double* __restrict__ drow,
-    double* __restrict__ Mo, double* __restrict__ Io,
-    double* __restrict__ Do) {
+    int W, T inv,
+    T* __restrict__ mrow, T* __restrict__ irow,
+    T* __restrict__ drow,
+    T* __restrict__ Mo, T* __restrict__ Io,
+    T* __restrict__ Do) {
     Mo[0] = Io[0] = Do[0] = 0.0;
     for (int k = 1; k < W; k++) {
         mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
@@ -287,19 +350,21 @@ static void scale_store_row(
     }
 }
 
+template <typename T>
 double fwd_impl(
     const ExpProf& P, const uint8_t* dsq, int32_t L,
     const double* xN, int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
-    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
+    T* Mm, T* Im, T* Dm, int32_t keep, double* rowscale) {
     const int W = M + 1;
+    const Tables<T>& tb = P.core->template tables<T>();
     Arena::Mark amark = g_arena.mark();
-    double* __restrict__ mrow = g_arena.zalloc(W);
-    double* __restrict__ irow = g_arena.zalloc(W);
-    double* __restrict__ drow = g_arena.zalloc(W);
-    double* __restrict__ nm = g_arena.zalloc(W);
-    double* __restrict__ ni = g_arena.zalloc(W);
-    double* __restrict__ nd = g_arena.zalloc(W);
+    T* __restrict__ mrow = g_arena.zalloc<T>(W);
+    T* __restrict__ irow = g_arena.zalloc<T>(W);
+    T* __restrict__ drow = g_arena.zalloc<T>(W);
+    T* __restrict__ nm = g_arena.zalloc<T>(W);
+    T* __restrict__ ni = g_arena.zalloc<T>(W);
+    T* __restrict__ nd = g_arena.zalloc<T>(W);
 
     // N is a pure product chain (never receives summed mass in Forward),
     // so it is tracked in log space to stay exact across rescales
@@ -316,19 +381,20 @@ double fwd_impl(
         xNv[0] = 0.0; xBv[0] = std::log(b_);
         xEv[0] = xCv[0] = xJv[0] = NEGMASS;
     }
-    if (keep == 1) for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = NEGMASS;
+    if (keep == 1)
+        for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = (T)NEGMASS;
     if (raw_mx) {
-        for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = 0.0;
+        for (int k = 0; k < W; k++) Mm[k] = Im[k] = Dm[k] = (T)0.0;
         rowscale[0] = 0.0;
     }
 
     for (int i = 1; i <= L; i++) {
-        const double* ms = P.ems + (size_t)dsq[i - 1] * W;
-        const double* is = P.eis + (size_t)dsq[i - 1] * W;
-        double e = fwd_row_core(M, ms, is, P.eMM, P.eIM, P.eDM, P.eBM,
-                                P.eMI, P.eII, P.eMD, P.eDD,
-                                P.eDD2, P.eDD4,
-                                mrow, irow, drow, b_, nm, ni, nd);
+        const T* ms = tb.ems + (size_t)dsq[i - 1] * W;
+        const T* is = tb.eis + (size_t)dsq[i - 1] * W;
+        double e = fwd_row_core<T>(M, ms, is, tb.eMM, tb.eIM, tb.eDM,
+                                   tb.eBM, tb.eMI, tb.eII, tb.eMD, tb.eDD,
+                                   tb.eDD2, tb.eDD4,
+                                   mrow, irow, drow, (T)b_, nm, ni, nd);
         j_ = j_ * P.eJ[0] + e * P.eE[0];
         c_ = c_ * P.eC[0] + e * P.eE[1];
         logN += xN[0];
@@ -343,14 +409,14 @@ double fwd_impl(
         }
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
         if (keep == 1) {
-            double* Mo = Mm + (size_t)i * W;
-            double* Io = Im + (size_t)i * W;
-            double* Do = Dm + (size_t)i * W;
-            Mo[0] = Io[0] = Do[0] = NEGMASS;
+            T* Mo = Mm + (size_t)i * W;
+            T* Io = Im + (size_t)i * W;
+            T* Do = Dm + (size_t)i * W;
+            Mo[0] = Io[0] = Do[0] = (T)NEGMASS;
             for (int k = 1; k < W; k++) {
-                Mo[k] = xlog(mrow[k], logscale);
-                Io[k] = xlog(irow[k], logscale);
-                Do[k] = xlog(drow[k], logscale);
+                Mo[k] = (T)xlog(mrow[k], logscale);
+                Io[k] = (T)xlog(irow[k], logscale);
+                Do[k] = (T)xlog(drow[k], logscale);
             }
         }
         if (raw_mx || keep == 3) {
@@ -358,18 +424,20 @@ double fwd_impl(
             // values stay in [0, 1] (bounds the posterior row factors),
             // then store raw odds + the row's log scale.  keep==3 keeps
             // only the linear specials (domaindef region finding).
-            double mx = TINY;
-            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
-            mx = std::max(mx, std::max(j_, c_));
+            T mxr = row_tiny<T>::v;
+            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+            double mx = std::max((double)mxr, std::max(j_, c_));
             double inv = 1.0 / mx;
             if (raw_mx)
-                scale_store_row(W, inv, mrow, irow, drow,
-                                Mm + (size_t)i * W, Im + (size_t)i * W,
-                                Dm + (size_t)i * W);
-            else
+                scale_store_row<T>(W, (T)inv, mrow, irow, drow,
+                                   Mm + (size_t)i * W, Im + (size_t)i * W,
+                                   Dm + (size_t)i * W);
+            else {
+                const T invT = (T)inv;
                 for (int k = 0; k < W; k++) {
-                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                    mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                 }
+            }
             b_ *= inv; j_ *= inv; c_ *= inv;
             logscale += std::log(mx);
             rowscale[i] = logscale;
@@ -383,11 +451,11 @@ double fwd_impl(
             }
         } else if (e > RESCALE_HI || (e > 0 && e < 1.0 / RESCALE_HI)) {
             double s = e;
-            double inv = 1.0 / s;
+            const T invT = (T)(1.0 / s);
             for (int k = 0; k < W; k++) {
-                mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
             }
-            b_ *= inv; j_ *= inv; c_ *= inv;
+            b_ *= 1.0 / s; j_ *= 1.0 / s; c_ *= 1.0 / s;
             logscale += std::log(s);
         }
     }
@@ -397,19 +465,21 @@ double fwd_impl(
     return score;
 }
 
+template <typename T>
 double bck_impl(
     const ExpProf& P, const uint8_t* dsq, int32_t L,
     int32_t M, int32_t Kp,
     double* xNv, double* xBv, double* xEv, double* xCv, double* xJv,
-    double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
+    T* Mm, T* Im, T* Dm, int32_t keep, double* rowscale) {
     const int W = M + 1;
+    const Tables<T>& tb = P.core->template tables<T>();
     Arena::Mark amark = g_arena.mark();
-    double* __restrict__ mrow = g_arena.zalloc(W);
-    double* __restrict__ irow = g_arena.zalloc(W);
-    double* __restrict__ drow = g_arena.zalloc(W);
-    double* __restrict__ nm = g_arena.zalloc(W);
-    double* __restrict__ ni = g_arena.zalloc(W);
-    double* __restrict__ nd = g_arena.zalloc(W);
+    T* __restrict__ mrow = g_arena.zalloc<T>(W);
+    T* __restrict__ irow = g_arena.zalloc<T>(W);
+    T* __restrict__ drow = g_arena.zalloc<T>(W);
+    T* __restrict__ nm = g_arena.zalloc<T>(W);
+    T* __restrict__ ni = g_arena.zalloc<T>(W);
+    T* __restrict__ nd = g_arena.zalloc<T>(W);
 
     double logscale = 0.0;
     double c_ = P.eC[1];
@@ -426,40 +496,40 @@ double bck_impl(
         xEv[L] = xlog(e_, 0.0);
         xNv[L] = xBv[L] = xJv[L] = NEGMASS;
     }
-    drow[0] = 0.0;
-    if (M >= 1) drow[M] = e_;
+    drow[0] = (T)0.0;
+    if (M >= 1) drow[M] = (T)e_;
     for (int k = M - 1; k >= 1; k--)
-        drow[k] = e_ + drow[k + 1] * P.eDD[k];
-    mrow[0] = 0.0;
-    for (int k = 1; k <= M; k++) mrow[k] = e_;
+        drow[k] = (T)e_ + drow[k + 1] * tb.eDD[k];
+    mrow[0] = (T)0.0;
+    for (int k = 1; k <= M; k++) mrow[k] = (T)e_;
     for (int k = 1; k < M; k++)
-        mrow[k] += drow[k + 1] * P.eMD[k];
+        mrow[k] += drow[k + 1] * tb.eMD[k];
     if (keep == 1) {
-        double* Mo = Mm + (size_t)L * W;
-        double* Io = Im + (size_t)L * W;
-        double* Do = Dm + (size_t)L * W;
-        Mo[0] = Io[0] = Do[0] = NEGMASS;
+        T* Mo = Mm + (size_t)L * W;
+        T* Io = Im + (size_t)L * W;
+        T* Do = Dm + (size_t)L * W;
+        Mo[0] = Io[0] = Do[0] = (T)NEGMASS;
         for (int k = 1; k < W; k++) {
-            Mo[k] = xlog(mrow[k], 0.0);
-            Io[k] = NEGMASS;
-            Do[k] = xlog(drow[k], 0.0);
+            Mo[k] = (T)xlog(mrow[k], 0.0);
+            Io[k] = (T)NEGMASS;
+            Do[k] = (T)xlog(drow[k], 0.0);
         }
     }
     if (raw_mx) {
-        double* Mo = Mm + (size_t)L * W;
-        double* Io = Im + (size_t)L * W;
-        double* Do = Dm + (size_t)L * W;
-        Mo[0] = Io[0] = Do[0] = 0.0;
+        T* Mo = Mm + (size_t)L * W;
+        T* Io = Im + (size_t)L * W;
+        T* Do = Dm + (size_t)L * W;
+        Mo[0] = Io[0] = Do[0] = (T)0.0;
         for (int k = 1; k < W; k++) {
-            Mo[k] = mrow[k]; Io[k] = 0.0; Do[k] = drow[k];
+            Mo[k] = mrow[k]; Io[k] = (T)0.0; Do[k] = drow[k];
         }
         rowscale[L] = 0.0;
     }
 
     for (int i = L - 1; i >= 0; i--) {
-        const double* ms = P.ems + (size_t)dsq[i] * W;
-        const double* is = P.eis + (size_t)dsq[i] * W;
-        double b = bck_b_core(M, ms, P.eBM, mrow);
+        const T* ms = tb.ems + (size_t)dsq[i] * W;
+        const T* is = tb.eis + (size_t)dsq[i] * W;
+        double b = bck_b_core<T>(M, ms, tb.eBM, mrow);
         b_ = b;
         j_ = j_ * P.eJ[0] + b * P.eJ[1];
         c_ = c_ * P.eC[0];
@@ -473,39 +543,41 @@ double bck_impl(
             xEv[i] = xlog(e_, logscale);
         }
 
-        bck_row_core(M, ms, is, P.eMM, P.eIM, P.eDM,
-                     P.eMI, P.eII, P.eMD, P.eDD,
-                     P.eDD2r, P.eDD4r,
-                     mrow, irow, e_, nm, ni, nd);
+        bck_row_core<T>(M, ms, is, tb.eMM, tb.eIM, tb.eDM,
+                        tb.eMI, tb.eII, tb.eMD, tb.eDD,
+                        tb.eDD2r, tb.eDD4r,
+                        mrow, irow, (T)e_, nm, ni, nd);
         std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
         if (keep == 1) {
-            double* Mo = Mm + (size_t)i * W;
-            double* Io = Im + (size_t)i * W;
-            double* Do = Dm + (size_t)i * W;
-            Mo[0] = Io[0] = Do[0] = NEGMASS;
+            T* Mo = Mm + (size_t)i * W;
+            T* Io = Im + (size_t)i * W;
+            T* Do = Dm + (size_t)i * W;
+            Mo[0] = Io[0] = Do[0] = (T)NEGMASS;
             for (int k = 1; k < W; k++) {
-                Mo[k] = xlog(mrow[k], logscale);
-                Io[k] = xlog(irow[k], logscale);
-                Do[k] = xlog(drow[k], logscale);
+                Mo[k] = (T)xlog(mrow[k], logscale);
+                Io[k] = (T)xlog(irow[k], logscale);
+                Do[k] = (T)xlog(drow[k], logscale);
             }
         }
         if (raw_mx || keep == 3) {
-            double mx = TINY;
-            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
+            T mxr = row_tiny<T>::v;
+            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+            double mx = (double)mxr;
             double inv = 1.0 / mx;
+            const T invT = (T)inv;
             if (raw_mx) {
-                double* __restrict__ Mo = Mm + (size_t)i * W;
-                double* __restrict__ Io = Im + (size_t)i * W;
-                double* __restrict__ Do = Dm + (size_t)i * W;
-                Mo[0] = Io[0] = Do[0] = 0.0;
+                T* __restrict__ Mo = Mm + (size_t)i * W;
+                T* __restrict__ Io = Im + (size_t)i * W;
+                T* __restrict__ Do = Dm + (size_t)i * W;
+                Mo[0] = Io[0] = Do[0] = (T)0.0;
 #pragma GCC ivdep
                 for (int k = 1; k < W; k++) {
-                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                    mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                     Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
                 }
             } else {
                 for (int k = 0; k < W; k++) {
-                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                    mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                 }
             }
             n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
@@ -519,14 +591,16 @@ double bck_impl(
                 xEv[i] = e_;
             }
         } else {
-            double mx = 0.0;
-            for (int k = 1; k < W; k++) mx = std::max(mx, mrow[k]);
+            T mxr = (T)0.0;
+            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+            double mx = (double)mxr;
             if (mx > RESCALE_HI || (mx > 0 && mx < 1.0 / RESCALE_HI)) {
-                double inv = 1.0 / mx;
+                const T invT = (T)(1.0 / mx);
                 for (int k = 0; k < W; k++) {
-                    mrow[k] *= inv; irow[k] *= inv; drow[k] *= inv;
+                    mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                 }
-                n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
+                n_ *= 1.0 / mx; b_ *= 1.0 / mx; j_ *= 1.0 / mx;
+                c_ *= 1.0 / mx; e_ *= 1.0 / mx;
                 logscale += std::log(mx);
             }
         }
@@ -534,6 +608,60 @@ double bck_impl(
     double score = xlog(n_, logscale);
     g_arena.release(amark);
     return score;
+}
+
+template <typename T>
+static double optacc_impl(
+    const T* ppM, const T* ppI,             // [L+1, M+1]
+    const T* ppN, const T* ppJ, const T* ppC,  // [L+1]
+    const T* gMM, const T* gIM, const T* gDM,
+    const T* gMD, const T* gDD,             // [M] gates (0 / NEGMASS)
+    const T* gMI, const T* gII,             // [M+1]
+    const T* gBM,                           // [M]
+    int32_t eJ_ok, int32_t L, int32_t M,
+    T* Mx, T* Ix, T* Dx,                    // [L+1, M+1]
+    T* xN, T* xB, T* xE, T* xJ, T* xC) {
+    const int W = M + 1;
+    const T NEG = (T)NEGMASS;
+    for (int k = 0; k < W; k++) Mx[k] = Ix[k] = Dx[k] = NEG;
+    xN[0] = (T)0.0; xB[0] = (T)0.0;
+    xE[0] = xJ[0] = xC[0] = NEG;
+    for (int i = 1; i <= L; i++) {
+        T* mc = Mx + (size_t)i * W;
+        T* ic = Ix + (size_t)i * W;
+        T* dc = Dx + (size_t)i * W;
+        const T* mp = Mx + (size_t)(i - 1) * W;
+        const T* ip = Ix + (size_t)(i - 1) * W;
+        const T* dp = Dx + (size_t)(i - 1) * W;
+        const T* pm = ppM + (size_t)i * W;
+        const T* pi = ppI + (size_t)i * W;
+        mc[0] = ic[0] = dc[0] = NEG;
+        const T xbm1 = xB[i - 1];
+#pragma GCC ivdep
+        for (int k = 1; k <= M; k++) {
+            T v = std::max(std::max(mp[k - 1] + gMM[k - 1],
+                                    ip[k - 1] + gIM[k - 1]),
+                           std::max(dp[k - 1] + gDM[k - 1],
+                                    xbm1 + gBM[k - 1]));
+            mc[k] = pm[k] + v;
+        }
+#pragma GCC ivdep
+        for (int k = 1; k < M; k++)
+            ic[k] = pi[k] + std::max(mp[k] + gMI[k], ip[k] + gII[k]);
+        for (int k = std::max(M, 1); k < W; k++) ic[k] = NEG;
+        if (M >= 1) dc[1] = NEG;
+        for (int k = 2; k <= M; k++)
+            dc[k] = std::max(mc[k - 1] + gMD[k - 1], dc[k - 1] + gDD[k - 1]);
+        T e = NEG;
+        for (int k = 1; k <= M; k++) e = std::max(e, mc[k]);
+        if (M >= 1) e = std::max(e, dc[M]);
+        xE[i] = e;
+        xJ[i] = std::max((T)(xJ[i - 1] + ppJ[i]), eJ_ok ? e : NEG);
+        xC[i] = std::max((T)(xC[i - 1] + ppC[i]), e);
+        xN[i] = xN[i - 1] + ppN[i];
+        xB[i] = std::max(xN[i], xJ[i]);
+    }
+    return (double)xC[L];
 }
 
 }  // namespace
@@ -552,8 +680,8 @@ double hmmdp_forward(
     double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
     ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
               xE, xN, xJ, xC, M, Kp);
-    return fwd_impl(P, dsq, L, xN, M, Kp, xNv, xBv, xEv, xCv, xJv,
-                    Mm, Im, Dm, keep, rowscale);
+    return fwd_impl<double>(P, dsq, L, xN, M, Kp, xNv, xBv, xEv, xCv, xJv,
+                            Mm, Im, Dm, keep, rowscale);
 }
 
 double hmmdp_backward(
@@ -568,8 +696,8 @@ double hmmdp_backward(
     double* Mm, double* Im, double* Dm, int32_t keep, double* rowscale) {
     ExpProf P(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
               xE, xN, xJ, xC, M, Kp);
-    return bck_impl(P, dsq, L, M, Kp, xNv, xBv, xEv, xCv, xJv,
-                    Mm, Im, Dm, keep, rowscale);
+    return bck_impl<double>(P, dsq, L, M, Kp, xNv, xBv, xEv, xCv, xJv,
+                            Mm, Im, Dm, keep, rowscale);
 }
 
 // Build / free a cached ExpCore (length-independent odds tables) for one
@@ -599,46 +727,9 @@ double hmmdp_optacc(
     int32_t eJ_ok, int32_t L, int32_t M,
     double* Mx, double* Ix, double* Dx,     // [L+1, M+1]
     double* xN, double* xB, double* xE, double* xJ, double* xC) {
-    const int W = M + 1;
-    for (int k = 0; k < W; k++) Mx[k] = Ix[k] = Dx[k] = NEGMASS;
-    xN[0] = 0.0; xB[0] = 0.0;
-    xE[0] = xJ[0] = xC[0] = NEGMASS;
-    for (int i = 1; i <= L; i++) {
-        double* mc = Mx + (size_t)i * W;
-        double* ic = Ix + (size_t)i * W;
-        double* dc = Dx + (size_t)i * W;
-        const double* mp = Mx + (size_t)(i - 1) * W;
-        const double* ip = Ix + (size_t)(i - 1) * W;
-        const double* dp = Dx + (size_t)(i - 1) * W;
-        const double* pm = ppM + (size_t)i * W;
-        const double* pi = ppI + (size_t)i * W;
-        mc[0] = ic[0] = dc[0] = NEGMASS;
-        const double xbm1 = xB[i - 1];
-#pragma GCC ivdep
-        for (int k = 1; k <= M; k++) {
-            double v = std::max(std::max(mp[k - 1] + gMM[k - 1],
-                                         ip[k - 1] + gIM[k - 1]),
-                                std::max(dp[k - 1] + gDM[k - 1],
-                                         xbm1 + gBM[k - 1]));
-            mc[k] = pm[k] + v;
-        }
-#pragma GCC ivdep
-        for (int k = 1; k < M; k++)
-            ic[k] = pi[k] + std::max(mp[k] + gMI[k], ip[k] + gII[k]);
-        for (int k = std::max(M, 1); k < W; k++) ic[k] = NEGMASS;
-        if (M >= 1) dc[1] = NEGMASS;
-        for (int k = 2; k <= M; k++)
-            dc[k] = std::max(mc[k - 1] + gMD[k - 1], dc[k - 1] + gDD[k - 1]);
-        double e = NEGMASS;
-        for (int k = 1; k <= M; k++) e = std::max(e, mc[k]);
-        if (M >= 1) e = std::max(e, dc[M]);
-        xE[i] = e;
-        xJ[i] = std::max(xJ[i - 1] + ppJ[i], eJ_ok ? e : NEGMASS);
-        xC[i] = std::max(xC[i - 1] + ppC[i], e);
-        xN[i] = xN[i - 1] + ppN[i];
-        xB[i] = std::max(xN[i], xJ[i]);
-    }
-    return xC[L];
+    return optacc_impl<double>(ppM, ppI, ppN, ppJ, ppC,
+                               gMM, gIM, gDM, gMD, gDD, gMI, gII, gBM,
+                               eJ_ok, L, M, Mx, Ix, Dx, xN, xB, xE, xJ, xC);
 }
 
 }  // extern "C"
@@ -881,7 +972,20 @@ int64_t hmmdp_ssv_seed(
 // rebuilt for the TPU pipeline: the filters run batched on device, and
 // only the rare survivors reach this host code.
 
+// Per-phase wall-time accumulators (seconds), indexed:
+// 0=full fwd  1=full bck  2=decode+regions  3=env fwd/bck  4=env decode
+// 5=null2  6=optacc+trace  7=stotrace cluster.  Diagnostic only; read
+// through ctypes (ops/native.py phase_times).
+extern "C" double hmmdp_phase_s[8] = {0};
+
 namespace {
+
+#include <time.h>
+inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
 
 constexpr double RT1_DEF = 0.25;
 
@@ -914,8 +1018,16 @@ struct UnionFind {
     void unite(int a, int b) { a = find(a); b = find(b); if (a != b) p[a] = b; }
 };
 
-inline bool oa_close(double a, double b) {
-    return std::fabs(a - b) < 1e-7 * std::max(1.0, std::fabs(b)) + 1e-9;
+template <typename T>
+inline bool oa_close(T a, T b) {
+    // traceback branch re-matching tolerance: scaled to the row DP's
+    // precision (values are posterior sums <= L; f32 accumulates ~L*eps
+    // of absolute error)
+    if (std::is_same<T, float>::value)
+        return std::fabs(a - b) < 2e-4f * std::max(1.0f, std::fabs((float)b))
+               + 1e-5f;
+    return std::fabs(a - b) < 1e-7 * std::max(1.0, std::fabs((double)b))
+           + 1e-9;
 }
 
 struct TraceBuf {
@@ -959,7 +1071,7 @@ inline int choose_lin(Rng& rng, const double* w, int n) {
 // transcendentals (the E-state draw over M+1 options is exp-free).
 int32_t stotrace_odds(
     const uint8_t* dsq, int32_t L,
-    const double* Mm, const double* Im, const double* Dm,   // odds [L+1, W]
+    const float* Mm, const float* Im, const float* Dm,      // odds [L+1, W]
     const double* rsc,                                      // [L+1] log scale
     const double* xNv, const double* xBv, const double* xEv,
     const double* xCv, const double* xJv,                   // [L+1] log
@@ -973,6 +1085,15 @@ int32_t stotrace_odds(
     double* uM = new double[W];
     double* uI = new double[W];
     double* lp = new double[W + 1];
+    // Hoisted B-entry factors: the M-state draw's B option is
+    // exp(xBv[i-1] - rsc[i-1]) * eBM[k-1]; computing the exp per ROW
+    // (instead of a log+exp pair per STEP) removes the two
+    // transcendentals from the sampling inner loop.
+    double* exB = new double[L + 1];
+    for (int i2 = 0; i2 <= L; i2++) {
+        double bl = xBv[i2] - rsc[i2];
+        exB[i2] = bl > -690.0 ? std::exp(std::min(bl, 690.0)) : 0.0;
+    }
     int nspans = 0;
 
     for (int s = 0; s < nsamples; s++) {
@@ -991,7 +1112,7 @@ int32_t stotrace_odds(
             } else if (state == 1) {   // E: odds row i, exp-free
                 end_i = i;
                 for (int kk = 0; kk < W; kk++) { uM[kk] = 0; uI[kk] = 0; }
-                const double* Mr = Mm + (size_t)i * W;
+                const float* Mr = Mm + (size_t)i * W;
                 for (int kk = 1; kk <= M; kk++) lp[kk - 1] = Mr[kk];
                 lp[M] = Dm[(size_t)i * W + M];
                 int c = choose_lin(rng, lp, M + 1);
@@ -1004,11 +1125,7 @@ int32_t stotrace_odds(
                 o[0] = k >= 2 ? Mm[om1 + k - 1] * P.eMM[k - 1] : 0.0;
                 o[1] = k >= 2 ? Im[om1 + k - 1] * P.eIM[k - 1] : 0.0;
                 o[2] = k >= 2 ? Dm[om1 + k - 1] * P.eDM[k - 1] : 0.0;
-                // B entry: log special vs odds row scale
-                double bl = xBv[i - 1] + std::log(P.eBM[k - 1] > 0.0
-                                                  ? P.eBM[k - 1] : 1e-300)
-                            - rsc[i - 1];
-                o[3] = bl > -690.0 ? std::exp(std::min(bl, 690.0)) : 0.0;
+                o[3] = exB[i - 1] * P.eBM[k - 1];
                 int c = choose_lin(rng, o, 4);
                 i--;
                 if (c == 3) {
@@ -1076,7 +1193,7 @@ int32_t stotrace_odds(
             }
         }
     }
-    delete[] uM; delete[] uI; delete[] lp;
+    delete[] uM; delete[] uI; delete[] lp; delete[] exB;
     return nspans;
 }
 
@@ -1139,10 +1256,12 @@ int32_t hmmdp_domaindef(
     double* bxJ = g_arena.alloc(L + 1);
     double* rsf = g_arena.alloc(L + 1);
     double* rsb = g_arena.alloc(L + 1);
-    double dummy[1];
-    double fwdsc = fwd_impl(Pm, dsq, L, sm.xN, M, Kp,
-                            fxN, fxB, fxE, fxC, fxJ,
-                            dummy, dummy, dummy, 3, rsf);
+    float dummy[1];
+    double t_ = now_s();
+    double fwdsc = fwd_impl<float>(Pm, dsq, L, sm.xN, M, Kp,
+                                   fxN, fxB, fxE, fxC, fxJ,
+                                   dummy, dummy, dummy, 3, rsf);
+    hmmdp_phase_s[0] += now_s() - t_;
     if (fwdsc < fwd_min) {
         // exact-score gate miss: the caller's F3 re-check would drop this
         // target anyway, so skip Backward/decode/rescoring entirely
@@ -1153,8 +1272,11 @@ int32_t hmmdp_domaindef(
         delete local_core;
         return 0;
     }
-    bck_impl(Pm, dsq, L, M, Kp,
-             bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 3, rsb);
+    t_ = now_s();
+    bck_impl<float>(Pm, dsq, L, M, Kp,
+                    bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 3, rsb);
+    hmmdp_phase_s[1] += now_s() - t_;
+    t_ = now_s();
 
     // ---- decode_specials: btot / etot / mocc (linear specials x
     // row-scale exponentials; the ef* passes auto-vectorize) ----
@@ -1182,6 +1304,8 @@ int32_t hmmdp_domaindef(
         }
     }
 
+    hmmdp_phase_s[2] += now_s() - t_;
+
     int ndom = 0;
     int nregions = 0, nclustered = 0, noverlaps = 0, nenvelopes = 0;
     bool fail = false;
@@ -1197,10 +1321,12 @@ int32_t hmmdp_domaindef(
         const uint8_t* win = dsq + (a - 1);
         const size_t rows = (size_t)(Ld + 1) * W;
         Arena::Mark rmark = g_arena.mark();
-        double* fM = g_arena.alloc(rows); double* fI = g_arena.alloc(rows);
-        double* fD = g_arena.alloc(rows);
-        double* bM = g_arena.alloc(rows); double* bI = g_arena.alloc(rows);
-        double* bD = g_arena.alloc(rows);
+        float* fM = g_arena.alloc<float>(rows);
+        float* fI = g_arena.alloc<float>(rows);
+        float* fD = g_arena.alloc<float>(rows);
+        float* bM = g_arena.alloc<float>(rows);
+        float* bI = g_arena.alloc<float>(rows);
+        float* bD = g_arena.alloc<float>(rows);
         double* wfxN = g_arena.alloc(Ld + 1);
         double* wfxB = g_arena.alloc(Ld + 1);
         double* wfxE = g_arena.alloc(Ld + 1);
@@ -1214,60 +1340,71 @@ int32_t hmmdp_domaindef(
         double* fsc_row = g_arena.alloc(Ld + 1);
         double* bsc_row = g_arena.alloc(Ld + 1);
         // keep=4: raw odds matrices + LINEAR specials (no per-row logs)
-        double envsc = fwd_impl(Pu, win, Ld, su.xN, M, Kp,
-                                wfxN, wfxB, wfxE, wfxC, wfxJ,
-                                fM, fI, fD, 4, fsc_row);
-        bck_impl(Pu, win, Ld, M, Kp,
-                 wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 4, bsc_row);
+        double tt = now_s();
+        double envsc = fwd_impl<float>(Pu, win, Ld, su.xN, M, Kp,
+                                       wfxN, wfxB, wfxE, wfxC, wfxJ,
+                                       fM, fI, fD, 4, fsc_row);
+        bck_impl<float>(Pu, win, Ld, M, Kp,
+                        wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 4,
+                        bsc_row);
+        hmmdp_phase_s[3] += now_s() - tt; tt = now_s();
 
         // posterior decode: matrices are raw odds with per-row log scales
         // (keep==2), so the per-cell work is one multiply -- the exp is
         // per-row.  Row factors are clamped so pathological rows cannot
         // produce inf * 0.
-        double* ppM = g_arena.alloc(rows); double* ppI = g_arena.alloc(rows);
-        double* ppN = g_arena.alloc(Ld + 1);
-        double* ppJ = g_arena.alloc(Ld + 1);
-        double* ppC = g_arena.alloc(Ld + 1);
-        for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0; ppI[kk] = 0.0; }
+        float* ppM = g_arena.alloc<float>(rows);
+        float* ppI = g_arena.alloc<float>(rows);
+        float* ppN = g_arena.alloc<float>(Ld + 1);
+        float* ppJ = g_arena.alloc<float>(Ld + 1);
+        float* ppC = g_arena.alloc<float>(Ld + 1);
+        for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0f; ppI[kk] = 0.0f; }
         for (int i2 = 1; i2 <= Ld; i2++) {
             const size_t o = (size_t)i2 * W;
             double arg = fsc_row[i2] + bsc_row[i2] - envsc;
-            double rfac = std::exp(std::min(arg, 700.0));
-            double* __restrict__ pMo = ppM + o;
-            double* __restrict__ pIo = ppI + o;
-            const double* __restrict__ fMo = fM + o;
-            const double* __restrict__ fIo = fI + o;
-            const double* __restrict__ bMo = bM + o;
-            const double* __restrict__ bIo = bI + o;
+            // clamp for f32 range: posteriors are <= 1 in exact
+            // arithmetic, so any arg above ~0 is already pathological
+            float rfac = (float)std::exp(std::min(arg, 80.0));
+            float* __restrict__ pMo = ppM + o;
+            float* __restrict__ pIo = ppI + o;
+            const float* __restrict__ fMo = fM + o;
+            const float* __restrict__ fIo = fI + o;
+            const float* __restrict__ bMo = bM + o;
+            const float* __restrict__ bIo = bI + o;
 #pragma GCC ivdep
             for (int kk = 0; kk < W; kk++) {
                 pMo[kk] = fMo[kk] * bMo[kk] * rfac;
                 pIo[kk] = fIo[kk] * bIo[kk] * rfac;
             }
         }
-        ppN[0] = ppJ[0] = ppC[0] = 0.0;
+        ppN[0] = ppJ[0] = ppC[0] = 0.0f;
         {
             const double eLoopU = std::exp(su.xN[0]);
             for (int i2 = 1; i2 <= Ld; i2++) {
                 double ef = std::exp(fsc_row[i2 - 1] + bsc_row[i2]
                                      - envsc);
-                ppN[i2] = wfxN[i2 - 1] * eLoopU * wbxN[i2] * ef;
-                ppJ[i2] = wfxJ[i2 - 1] * eLoopU * wbxJ[i2] * ef;
-                ppC[i2] = wfxC[i2 - 1] * eLoopU * wbxC[i2] * ef;
+                ppN[i2] = (float)(wfxN[i2 - 1] * eLoopU * wbxN[i2] * ef);
+                ppJ[i2] = (float)(wfxJ[i2 - 1] * eLoopU * wbxJ[i2] * ef);
+                ppC[i2] = (float)(wfxC[i2 - 1] * eLoopU * wbxC[i2] * ef);
             }
         }
 
+        hmmdp_phase_s[4] += now_s() - tt; tt = now_s();
         double domcorrection = 0.0;
         if (do_null2 && !null2_done) {
             // null2 by expectation over all states incl. N/C/J flank mass
-            double* wM = g_arena.zalloc(W); double* wI = g_arena.zalloc(W);
+            float* __restrict__ wM = g_arena.zalloc<float>(W);
+            float* __restrict__ wI = g_arena.zalloc<float>(W);
             double wX = 0.0;
             for (int i2 = 1; i2 <= Ld; i2++) {
                 const size_t o = (size_t)i2 * W;
+                const float* __restrict__ pMo = ppM + o;
+                const float* __restrict__ pIo = ppI + o;
+#pragma GCC ivdep
                 for (int kk = 0; kk < W; kk++) {
-                    wM[kk] += ppM[o + kk]; wI[kk] += ppI[o + kk];
+                    wM[kk] += pMo[kk]; wI[kk] += pIo[kk];
                 }
-                wX += ppN[i2] + ppJ[i2] + ppC[i2];
+                wX += (double)ppN[i2] + ppJ[i2] + ppC[i2];
             }
             double* n2core = g_arena.alloc(K);
             for (int x = 0; x < K; x++) {
@@ -1294,35 +1431,43 @@ int32_t hmmdp_domaindef(
         if (do_null2)
             for (int pos = a; pos <= b; pos++) domcorrection += n2sc[pos];
 
+        hmmdp_phase_s[5] += now_s() - tt; tt = now_s();
         // optimal accuracy DP + traceback
-        double* gMM = g_arena.alloc(M); double* gIM = g_arena.alloc(M);
-        double* gDM = g_arena.alloc(M); double* gMD = g_arena.alloc(M);
-        double* gDD = g_arena.alloc(M); double* gBM = g_arena.alloc(M);
-        double* gMI = g_arena.alloc(W); double* gII = g_arena.alloc(W);
+        const float NEGF = (float)NEGMASS;
+        float* gMM = g_arena.alloc<float>(M);
+        float* gIM = g_arena.alloc<float>(M);
+        float* gDM = g_arena.alloc<float>(M);
+        float* gMD = g_arena.alloc<float>(M);
+        float* gDD = g_arena.alloc<float>(M);
+        float* gBM = g_arena.alloc<float>(M);
+        float* gMI = g_arena.alloc<float>(W);
+        float* gII = g_arena.alloc<float>(W);
         for (int kk = 0; kk < M; kk++) {
-            gMM[kk] = tMM[kk] > -5e29 ? 0.0 : NEGMASS;
-            gIM[kk] = tIM[kk] > -5e29 ? 0.0 : NEGMASS;
-            gDM[kk] = tDM[kk] > -5e29 ? 0.0 : NEGMASS;
-            gMD[kk] = tMD[kk] > -5e29 ? 0.0 : NEGMASS;
-            gDD[kk] = tDD[kk] > -5e29 ? 0.0 : NEGMASS;
-            gBM[kk] = tBM[kk] > -5e29 ? 0.0 : NEGMASS;
+            gMM[kk] = tMM[kk] > -5e29 ? 0.0f : NEGF;
+            gIM[kk] = tIM[kk] > -5e29 ? 0.0f : NEGF;
+            gDM[kk] = tDM[kk] > -5e29 ? 0.0f : NEGF;
+            gMD[kk] = tMD[kk] > -5e29 ? 0.0f : NEGF;
+            gDD[kk] = tDD[kk] > -5e29 ? 0.0f : NEGF;
+            gBM[kk] = tBM[kk] > -5e29 ? 0.0f : NEGF;
         }
         for (int kk = 0; kk < W; kk++) {
-            gMI[kk] = tMI[kk] > -5e29 ? 0.0 : NEGMASS;
-            gII[kk] = tII[kk] > -5e29 ? 0.0 : NEGMASS;
+            gMI[kk] = tMI[kk] > -5e29 ? 0.0f : NEGF;
+            gII[kk] = tII[kk] > -5e29 ? 0.0f : NEGF;
         }
-        double* Mx = g_arena.alloc(rows); double* Ix = g_arena.alloc(rows);
-        double* Dx = g_arena.alloc(rows);
-        double* oxN = g_arena.alloc(Ld + 1);
-        double* oxB = g_arena.alloc(Ld + 1);
-        double* oxE = g_arena.alloc(Ld + 1);
-        double* oxJ = g_arena.alloc(Ld + 1);
-        double* oxC = g_arena.alloc(Ld + 1);
+        float* Mx = g_arena.alloc<float>(rows);
+        float* Ix = g_arena.alloc<float>(rows);
+        float* Dx = g_arena.alloc<float>(rows);
+        float* oxN = g_arena.alloc<float>(Ld + 1);
+        float* oxB = g_arena.alloc<float>(Ld + 1);
+        float* oxE = g_arena.alloc<float>(Ld + 1);
+        float* oxJ = g_arena.alloc<float>(Ld + 1);
+        float* oxC = g_arena.alloc<float>(Ld + 1);
         int eJ_ok = su.xE[0] > -5e29 ? 1 : 0;
-        double oasc = hmmdp_optacc(ppM, ppI, ppN, ppJ, ppC,
-                                   gMM, gIM, gDM, gMD, gDD, gMI, gII, gBM,
-                                   eJ_ok, Ld, M,
-                                   Mx, Ix, Dx, oxN, oxB, oxE, oxJ, oxC);
+        double oasc = optacc_impl<float>(ppM, ppI, ppN, ppJ, ppC,
+                                         gMM, gIM, gDM, gMD, gDD, gMI,
+                                         gII, gBM, eJ_ok, Ld, M,
+                                         Mx, Ix, Dx, oxN, oxB, oxE, oxJ,
+                                         oxC);
 
         // OA traceback (p7_OATrace port; built reversed, then flipped)
         TraceBuf tb{tr_st, tr_k, tr_i, tr_pp, tr_off[ndom], max_tr};
@@ -1341,18 +1486,19 @@ int32_t hmmdp_domaindef(
                         tb.push('C', 0, i2, ppC[i2]); i2--;
                     } else { state = 'E'; tb.push('E', 0, 0, 0.0); }
                 } else if (state == 'E') {
-                    double mmax = NEGMASS;
+                    float mmax = NEGF;
                     int argm = 1;
                     for (int q = 1; q <= M; q++)
                         if (Mx[o + q] > mmax) { mmax = Mx[o + q]; argm = q; }
-                    if (oa_close(oxE[i2], Dx[o + M]) && Dx[o + M] > mmax + 1e-9) {
+                    if (oa_close(oxE[i2], Dx[o + M])
+                        && Dx[o + M] > mmax + 1e-9) {
                         state = 'D'; kk = M; tb.push('D', M, 0, 0.0);
                     } else { state = 'M'; kk = argm;
                              tb.push('M', kk, i2, ppM[o + kk]); }
                 } else if (state == 'M') {
-                    double v = Mx[o + kk] - ppM[o + kk];
-                    double pm = Mx[om1 + kk - 1], pi_ = Ix[om1 + kk - 1];
-                    double pd = Dx[om1 + kk - 1], pb = oxB[i2 - 1];
+                    float v = Mx[o + kk] - ppM[o + kk];
+                    float pm = Mx[om1 + kk - 1], pi_ = Ix[om1 + kk - 1];
+                    float pd = Dx[om1 + kk - 1], pb = oxB[i2 - 1];
                     i2--;
                     const size_t o2 = (size_t)i2 * W;
                     if (oa_close(v, pb)) { state = 'B'; tb.push('B', 0, 0, 0.0); }
@@ -1370,8 +1516,8 @@ int32_t hmmdp_domaindef(
                         kk--; state = 'M'; tb.push('M', kk, i2, ppM[o + kk]);
                     }
                 } else if (state == 'I') {
-                    double v = Ix[o + kk] - ppI[o + kk];
-                    double pm = Mx[om1 + kk];
+                    float v = Ix[o + kk] - ppI[o + kk];
+                    float pm = Mx[om1 + kk];
                     i2--;
                     const size_t o2 = (size_t)i2 * W;
                     if (oa_close(v, pm)) {
@@ -1405,6 +1551,7 @@ int32_t hmmdp_domaindef(
             }
         }
 
+        hmmdp_phase_s[6] += now_s() - tt;
         bool ok = !tb.overflow && iali != 0;
         if (tb.overflow) fail = true;
         if (ok) {
@@ -1439,15 +1586,16 @@ int32_t hmmdp_domaindef(
                     std::min(etot[z] - etot[ii - 1], btot[jj] - btot[z]));
             if (expected_n >= rt3) {
                 // --- multidomain region: stochastic traceback clustering ---
+                double tt = now_s();
                 nclustered++;
                 const int Ld = jj - ii + 1;
                 const uint8_t* win = dsq + (ii - 1);
                 Specials sr; sr.config(Ld, true);
                 const size_t rows = (size_t)(Ld + 1) * W;
                 Arena::Mark gmark = g_arena.mark();
-                double* rM = g_arena.alloc(rows);
-                double* rI = g_arena.alloc(rows);
-                double* rD = g_arena.alloc(rows);
+                float* rM = g_arena.alloc<float>(rows);
+                float* rI = g_arena.alloc<float>(rows);
+                float* rD = g_arena.alloc<float>(rows);
                 double* rxN = g_arena.alloc(Ld + 1);
                 double* rxB = g_arena.alloc(Ld + 1);
                 double* rxE = g_arena.alloc(Ld + 1);
@@ -1456,8 +1604,9 @@ int32_t hmmdp_domaindef(
                 double* rrsc = g_arena.alloc(Ld + 1);
                 ExpProf Pr(tBM, tMM, tIM, tDM, tMD, tDD, tMI, tII, msc, isc,
                            sr.xE, sr.xN, sr.xJ, sr.xC, M, Kp, core);
-                fwd_impl(Pr, win, Ld, sr.xN, M, Kp,
-                         rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 2, rrsc);
+                fwd_impl<float>(Pr, win, Ld, sr.xN, M, Kp,
+                                rxN, rxB, rxE, rxC, rxJ, rM, rI, rD, 2,
+                                rrsc);
                 const int max_spans = nsamples * 16;
                 int32_t* spans = new int32_t[3 * max_spans];
                 double* n2acc = g_arena.zalloc(Ld + 2);
@@ -1564,6 +1713,7 @@ int32_t hmmdp_domaindef(
                 }
                 delete[] spans;
                 g_arena.release(gmark);
+                hmmdp_phase_s[7] += now_s() - tt;
                 if (nenv == 0) { env_a[0] = ii; env_b[0] = jj; nenv = 1; }
                 // sort envelopes by start
                 for (int x = 1; x < nenv; x++)

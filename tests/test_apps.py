@@ -119,7 +119,9 @@ def test_jackhmmer_pksi_checkpoints(data_dir):
     last = iterations[-1]
     assert last.converged
     assert len(last.hits) == 5
-    assert abs(len(last.msa.sequences) - 17) <= 1
+    # 17 +- 2: each ensemble-RNG envelope merge/split on the two giant
+    # multidomain PKS hits shifts the MSA row count by one (gap #2)
+    assert abs(len(last.msa.sequences) - 17) <= 2
 
 
 def test_sharded_search_matches_single_shot(data_dir):
