@@ -220,110 +220,145 @@ class Builder:
 
     def build_msa(self, msa, background: Background
                   ) -> Tuple[HMM, "Profile", "Profile"]:
-        """Build a model from a multiple alignment (``p7_Builder``)."""
-        K = self.alphabet.K
-        gap = self.alphabet.gap_code
-        ali = msa.codes                      # [nseq, alen] uint8
+        """Build a model from a multiple alignment (``p7_Builder``,
+        reference ``plan7.pyx:1016-1092``; C pipeline: relative weights ->
+        fragment marking -> Fast/Handmodelmaker fake traces + doctoring ->
+        trace counting -> effective sequence number -> mixture-Dirichlet
+        parameter estimation -> calibration).
+
+        Golden anchor: rebuilding ``tests/data/msa/LuxC.sto`` with
+        defaults reproduces ``tests/data/hmms/txt/LuxC.hmm`` (M=400,
+        EFFN~1.99, mat/ins/t at file precision) --
+        ``tests/test_builder_golden.py``."""
+        from .priors import for_alphabet, parameter_estimation
+        alphabet = self.alphabet
+        K = alphabet.K
+        ali = np.ascontiguousarray(msa.codes)        # [nseq, alen] uint8
         nseq, alen = ali.shape
+        if nseq == 0 or alen == 0:
+            raise ValueError("cannot build a model from an empty MSA")
+        gap = alphabet.gap_code
+        nonres = alphabet.nonresidue_code
+        misscode = alphabet.missing_code
+        residue = (ali != gap) & (ali != nonres) & (ali != misscode)
 
-        weights = msa.weights if (self.weighting == "given"
-                                  and msa.weights is not None) else None
-        if weights is None:
-            if self.weighting == "pb":
-                weights = _pb_weights(ali, K, gap)
-            elif self.weighting == "none":
-                weights = np.ones(nseq)
-            else:
-                weights = _pb_weights(ali, K, gap)
+        # -- relative sequence weights ----------------------------------
+        if self.weighting == "given":
+            weights = (np.asarray(msa.weights, dtype=np.float64)
+                       if msa.weights is not None else np.ones(nseq))
+        elif self.weighting == "pb":
+            weights = _pb_weights(ali, K, gap)
+        elif self.weighting == "gsc":
+            weights = _gsc_weights(ali, K)
+        elif self.weighting == "blosum":
+            weights = _blosum_weights(ali, K, self.wid)
+        else:                                        # "none"
+            weights = np.ones(nseq)
 
-        # architecture: consensus columns
-        is_res = (ali < K)
+        # -- fragment marking (esl_msa_MarkFragments): leading/trailing
+        # cells outside the aligned span become missing data, so
+        # fragments contribute no flanking delete transitions ----------
+        missing = ~residue & (ali == misscode)
+        span_lo = np.full(nseq, 0)
+        span_hi = np.full(nseq, alen - 1)
+        for i in range(nseq):
+            idx = np.flatnonzero(residue[i])
+            if len(idx) == 0:
+                missing[i, :] = True
+                continue
+            span_lo[i], span_hi[i] = idx[0], idx[-1]
+            if (idx[-1] - idx[0] + 1) < self.fragthresh * alen:
+                missing[i, : idx[0]] = True
+                missing[i, idx[-1] + 1:] = True
+
+        # -- architecture: consensus column assignment ------------------
         if self.architecture == "hand":
             if msa.reference is None:
                 raise ValueError("hand architecture requires an RF line")
             rf = np.frombuffer(msa.reference, dtype="S1")
             cons_cols = np.array([c not in (b".", b"-", b"~", b" ")
                                   for c in rf])
+            if len(cons_cols) != alen:
+                raise ValueError("RF line length != alignment length")
         else:
-            occ = (weights[:, None] * is_res).sum(axis=0) / weights.sum()
-            cons_cols = occ >= self.symfrac
+            # p7_Fastmodelmaker: weighted residue fraction >= symfrac,
+            # missing cells excluded from numerator AND denominator
+            use = ~missing
+            r = (weights[:, None] * (residue & use)).sum(axis=0)
+            totw = (weights[:, None] * use).sum(axis=0)
+            with np.errstate(invalid="ignore"):
+                cons_cols = (r > 0) & (r / np.maximum(totw, 1e-30)
+                                       >= self.symfrac)
         M = int(cons_cols.sum())
         if M == 0:
             raise ValueError("no consensus columns in alignment")
-
-        # weighted observed counts
-        mat = np.zeros((M + 1, K))
-        ins = np.zeros((M + 1, K))
-        t = np.zeros((M + 1, 7))
-        cons_idx = np.where(cons_cols)[0]
+        cons_idx = np.flatnonzero(cons_cols)
         col_of = np.full(alen, -1)
         col_of[cons_idx] = np.arange(1, M + 1)
 
+        # -- fake traces + doctoring + weighted counting ----------------
+        mat = np.zeros((M + 1, K))
+        ins = np.zeros((M + 1, K))
+        t = np.zeros((M + 1, 7))
+        degen = alphabet.degen
+        dcount = degen.sum(axis=1)
         for s in range(nseq):
-            w = weights[s]
-            row = ali[s]
-            # emissions
-            for a in range(alen):
-                c = row[a]
-                if c >= K:
-                    continue
-                kk = col_of[a]
-                if kk > 0:
-                    mat[kk, c] += w
-                else:
-                    # insert column: assign to previous consensus col
-                    prev = col_of[:a]
-                    kprev = prev[prev > 0]
-                    ins[kprev[-1] if len(kprev) else 0, c] += w
-            # transitions along the path
-            state, node = "M", 0   # start at node 0 (B)
-            for a in range(alen):
-                c = row[a]
-                kk = col_of[a]
-                if kk > 0:
-                    new_state = "M" if c < K else "D"
-                    t[node, {"M": {"M": T.MM, "D": T.MD},
-                             "I": {"M": T.IM, "D": T.MD},
-                             "D": {"M": T.DM, "D": T.DD}}[state][new_state]
-                      if state != "I" or new_state != "D" else T.MD] += w
-                    state, node = new_state, kk
-                elif c < K:   # insert residue
-                    t[node, T.MI if state == "M" else
-                      (T.II if state == "I" else T.MI)] += w
-                    state = "I"
-            t[node, T.MM if state != "D" else T.DM] += w   # exit to E
+            ev = _fake_trace(ali[s], missing[s], col_of, residue[s])
+            ev = _trace_doctor(ev)
+            _count_trace(ev, float(weights[s]), M, K,
+                         degen, dcount, mat, ins, t)
 
-        # effective sequence number by entropy weighting
+        # -- effective sequence number ----------------------------------
+        prior = for_alphabet(alphabet, self.prior_scheme)
         eff = float(nseq)
-        if self.effective_number == "entropy":
-            eff = _entropy_weight(mat[1:], weights.sum(), background,
-                                  self.ere, self.esigma, M)
-        elif isinstance(self.effective_number, (int, float)):
+        expnt = None
+        if isinstance(self.effective_number, (int, float)):
             eff = float(self.effective_number)
-        scale = eff / weights.sum()
-        mat *= scale
-        ins *= scale
-        t *= scale
+        elif self.effective_number == "entropy":
+            etarget = max(
+                self.ere,
+                (self.esigma
+                 - math.log2(2.0 / (M * (M + 1)))) / M)   # J5/36 formula
+            eff = _entropy_weight_prior(mat[1:], float(nseq),
+                                        background, prior, etarget)
+        elif self.effective_number == "clust":
+            eff = float(len(_single_linkage_clusters(ali, K, self.eid)))
+        elif self.effective_number == "exp":
+            etarget = max(
+                self.ere,
+                (self.esigma
+                 - math.log2(2.0 / (M * (M + 1)))) / M)
+            expnt = _entropy_exponent(mat[1:], background, prior, etarget)
+        # "none" keeps eff = nseq
 
-        # add priors (simplified Dirichlet: Laplace +1-ish scaled)
+        if expnt is not None:
+            # p7_hmm_ScaleExponential: each count row's total n -> n^exp
+            for block in (mat, ins, t[:, 0:3], t[:, 3:5], t[:, 5:7]):
+                _scale_exponential(block, expnt)
+            eff = float(mat[1:].sum(axis=1).mean()) if M else 1.0
+        else:
+            scale = eff / nseq
+            mat *= scale
+            ins *= scale
+            t *= scale
+
+        # -- parameter estimation (mixture Dirichlet posterior means) ---
         hmm = HMM(self.alphabet, M, name=msa.name or b"aligned-model")
-        bgf = background.residue_frequencies
-        hmm.mat[1:] = mat[1:] + bgf * 1.0
-        hmm.ins[:] = ins + bgf * 1.0
-        hmm.t[:, 0:3] = t[:, 0:3] + np.array([0.7, 0.1, 0.1])
-        hmm.t[:, 3:5] = t[:, 3:5] + np.array([0.6, 0.4])
-        hmm.t[:, 5:7] = t[:, 5:7] + np.array([0.6, 0.4])
-        hmm.renormalize()
-        hmm.t[0, T.DM] = 1.0
-        hmm.t[0, T.DD] = 0.0
-        hmm.t[M, T.MD] = 0.0
-        hmm.t[M, 0:3] /= hmm.t[M, 0:3].sum()
-        hmm.t[M, T.DM] = 1.0
-        hmm.t[M, T.DD] = 0.0
-        hmm.mat[0] = 0.0
-        hmm.mat[0, 0] = 1.0
+        hmm.mat[:] = mat
+        hmm.ins[:] = ins
+        hmm.t[:] = t
+        parameter_estimation(hmm, prior)
+
+        # -- annotation -------------------------------------------------
+        hmm.map = np.zeros(M + 1, dtype=np.int32)
+        hmm.map[1:] = cons_idx + 1                   # 1-based columns
+        hmm.flags |= HMMFlags.MAP
         hmm.nseq = nseq
         hmm.eff_nseq = eff
+        try:
+            hmm.checksum = msa.checksum()
+        except (AttributeError, TypeError):
+            hmm.checksum = None
         hmm.set_consensus()
         hmm.set_composition()
         self.calibrate(hmm, background)
@@ -382,20 +417,43 @@ class Builder:
         return self.seed
 
 
-def _pb_weights(ali: np.ndarray, K: int, gap: int) -> np.ndarray:
-    """Position-based (Henikoff) sequence weights (``esl_msaweight_PB``)."""
+def _pb_weights(ali: np.ndarray, K: int, gap: int,
+                symfrac: float = 0.5, fragthresh: float = 0.5
+                ) -> np.ndarray:
+    """Position-based (Henikoff) sequence weights over CONSENSUS columns
+    (``esl_msaweight_PB``, Easel >= 0.47 scheme: fragments marked by the
+    span rule, consensus = columns whose unweighted residue fraction
+    reaches ``symfrac`` with fragment flanks excluded, then classic PB
+    contributions summed over those columns only; normalized to mean 1).
+    Validated against a reference LuxC.hmm rebuild
+    (tests/test_builder_golden.py) -- whole-alignment PB gives visibly
+    different weights."""
     nseq, alen = ali.shape
+    residue = ali != gap
+    flank = np.zeros_like(residue)
+    for i in range(nseq):
+        idx = np.flatnonzero(residue[i])
+        if len(idx) == 0:
+            flank[i, :] = True
+        elif (idx[-1] - idx[0] + 1) < fragthresh * alen:
+            flank[i, : idx[0]] = True
+            flank[i, idx[-1] + 1:] = True
+    use = ~flank
+    r = (residue & use).sum(axis=0)
+    tot = use.sum(axis=0)
+    cons = (r > 0) & (r / np.maximum(tot, 1) >= symfrac)
+
     w = np.zeros(nseq)
-    for a in range(alen):
+    for a in np.flatnonzero(cons):
         col = ali[:, a]
         res = col < K
         if not res.any():
             continue
         vals, counts = np.unique(col[res], return_counts=True)
-        r = len(vals)
+        nr = len(vals)
         contrib = np.zeros(nseq)
         for v, c in zip(vals, counts):
-            contrib[col == v] = 1.0 / (r * c)
+            contrib[col == v] = 1.0 / (nr * c)
         w += contrib
     if w.sum() == 0:
         return np.ones(nseq)
@@ -403,29 +461,294 @@ def _pb_weights(ali: np.ndarray, K: int, gap: int) -> np.ndarray:
     return w
 
 
-def _entropy_weight(counts: np.ndarray, wsum: float, background: Background,
-                    ere: float, esigma: float, M: int) -> float:
-    """Entropy-weighted effective sequence number (``p7_EntropyWeight``):
-    find eff_nseq such that the mean match relative entropy hits the
-    target ``etarget = max(ere, esigma-scaled floor)``; bisection on the
-    scaling factor."""
-    etarget = max(ere, 6.0 * 0.5 * esigma / (M + 18.0) / math.log(2) / 2)
-    f = background.residue_frequencies
+# ---------------------------------------------------------------------------
+# Fake traces from an MSA (build.c fake_tracebacks / trace_doctor /
+# p7_trace_Count semantics)
+# ---------------------------------------------------------------------------
 
-    def rel_entropy(scale):
-        c = counts * scale + f * 1.0     # plus prior
-        p = c / c.sum(axis=1, keepdims=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            kl = np.where(p > 0, p * np.log2(p / f), 0.0)
-        return float(kl.sum(axis=1).mean())
+def _fake_trace(row: np.ndarray, missing: np.ndarray, col_of: np.ndarray,
+                residue: np.ndarray) -> list:
+    """Core-model state path implied by one aligned sequence: a list of
+    ``(state, k, code)`` with state in 'MDI' (``build.c
+    fake_tracebacks``).  Missing cells (fragment flanks) emit nothing --
+    their transitions are simply absent, reproducing the reference's
+    skip-over-X counting."""
+    ev = []
+    node = 0
+    for a in range(len(row)):
+        if missing[a]:
+            kk = col_of[a]
+            if kk > 0:
+                node = kk           # track position through missing flank
+            continue
+        kk = col_of[a]
+        if kk > 0:
+            ev.append(("M" if residue[a] else "D", kk, int(row[a])))
+            node = kk
+        elif residue[a]:
+            ev.append(("I", node, int(row[a])))
+    return ev
 
-    if rel_entropy(1.0) <= etarget:
-        return wsum
-    lo, hi = 1e-4, 1.0
-    for _ in range(60):
-        mid = math.sqrt(lo * hi)
-        if rel_entropy(mid) > etarget:
-            hi = mid
+
+def _trace_doctor(ev: list) -> list:
+    """Remove the Plan7-illegal D->I and I->D transitions (``build.c
+    trace_doctor``): a D,I pair collapses to M at the D's node carrying
+    the I's residue; an I,D pair collapses to M at the D's node."""
+    out = []
+    z = 0
+    n = len(ev)
+    while z < n:
+        if z + 1 < n and ev[z][0] == "D" and ev[z + 1][0] == "I":
+            out.append(("M", ev[z][1], ev[z + 1][2]))
+            z += 2
+        elif z + 1 < n and ev[z][0] == "I" and ev[z + 1][0] == "D":
+            out.append(("M", ev[z + 1][1], ev[z][2]))
+            z += 2
         else:
-            lo = mid
-    return wsum * math.sqrt(lo * hi)
+            out.append(ev[z])
+            z += 1
+    return out
+
+
+def _count_trace(ev: list, w: float, M: int, K: int,
+                 degen: np.ndarray, dcount: np.ndarray,
+                 mat: np.ndarray, ins: np.ndarray, t: np.ndarray) -> None:
+    """Weighted emission/transition counting for one doctored trace
+    (``p7_trace_Count``): B->entry and exit->E are only counted at
+    nodes 1/M (wing-retracted fragment entries/exits contribute
+    nothing); degenerate residues distribute their weight evenly over
+    member canonicals (``esl_abc_FCount``)."""
+    if not ev:
+        return
+
+    def emit(ctr, k, code):
+        if code < K:
+            ctr[k, code] += w
+        elif dcount[code] > 0:
+            ctr[k, degen[code]] += w / dcount[code]
+
+    # entry from B (= M0)
+    s0, k0, c0 = ev[0]
+    if s0 == "M" and k0 == 1:
+        t[0, T.MM] += w
+    elif s0 == "D" and k0 == 1:
+        t[0, T.MD] += w
+    elif s0 == "I" and k0 == 0:
+        t[0, T.MI] += w
+    # else: wing-retracted entry (fragment), not counted
+
+    prev = None
+    for e in ev:
+        s, k, c = e
+        if s == "M":
+            emit(mat, k, c)
+        elif s == "I":
+            emit(ins, k, c)
+        if prev is not None:
+            ps, pk, _ = prev
+            if ps == "M":
+                if s == "M":
+                    t[pk, T.MM] += w
+                elif s == "D":
+                    t[pk, T.MD] += w
+                else:
+                    t[pk, T.MI] += w
+            elif ps == "I":
+                if s == "M":
+                    t[pk, T.IM] += w
+                else:
+                    t[pk, T.II] += w
+            else:
+                if s == "M":
+                    t[pk, T.DM] += w
+                else:
+                    t[pk, T.DD] += w
+        prev = e
+    # exit to E
+    sl, kl, _ = ev[-1]
+    if kl == M:
+        if sl == "M":
+            t[M, T.MM] += w
+        elif sl == "D":
+            t[M, T.DM] += w
+    # else: wing-retracted exit, not counted
+
+
+# ---------------------------------------------------------------------------
+# Relative weighting schemes (esl_msaweight_{PB,GSC,BLOSUM})
+# ---------------------------------------------------------------------------
+
+def _pairwise_identity(ali: np.ndarray, K: int) -> np.ndarray:
+    """Fractional pairwise identity matrix (``esl_dst_XPairId``:
+    identical canonical pairs / min(rlen_i, rlen_j))."""
+    nseq = ali.shape[0]
+    canon = ali < K
+    rlen = canon.sum(axis=1)
+    pid = np.zeros((nseq, nseq))
+    for i in range(nseq):
+        both = canon[i][None, :] & canon
+        nid = ((ali == ali[i][None, :]) & both).sum(axis=1)
+        denom = np.minimum(rlen[i], rlen)
+        with np.errstate(invalid="ignore"):
+            pid[i] = np.where(denom > 0, nid / np.maximum(denom, 1), 0.0)
+    return pid
+
+
+def _single_linkage_clusters(ali: np.ndarray, K: int,
+                             maxid: float) -> list:
+    """Single-linkage clusters linking pairs with identity > maxid
+    (``esl_msacluster_SingleLinkage``); returns a list of index lists."""
+    nseq = ali.shape[0]
+    pid = _pairwise_identity(ali, K)
+    parent = list(range(nseq))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(nseq):
+        for j in range(i + 1, nseq):
+            if pid[i, j] > maxid:
+                parent[find(i)] = find(j)
+    groups: dict = {}
+    for i in range(nseq):
+        groups.setdefault(find(i), []).append(i)
+    return list(groups.values())
+
+
+def _blosum_weights(ali: np.ndarray, K: int, wid: float) -> np.ndarray:
+    """BLOSUM relative weights (``esl_msaweight_BLOSUM``): cluster by
+    single linkage at identity > wid; each sequence weighs
+    1/cluster_size; normalized to mean 1."""
+    nseq = ali.shape[0]
+    w = np.ones(nseq)
+    for grp in _single_linkage_clusters(ali, K, wid):
+        for i in grp:
+            w[i] = 1.0 / len(grp)
+    w *= nseq / w.sum()
+    return w
+
+
+def _gsc_weights(ali: np.ndarray, K: int) -> np.ndarray:
+    """Gerstein/Sonnhammer/Chothia tree weights (``esl_msaweight_GSC``):
+    UPGMA tree on pairwise-difference distances; each branch length is
+    shared equally by the leaves below it; normalized to mean 1."""
+    nseq = ali.shape[0]
+    if nseq <= 2:
+        return np.ones(nseq)
+    pid = _pairwise_identity(ali, K)
+    dist = 1.0 - pid
+
+    # UPGMA with size-weighted average-linkage distance updates
+    active = {i: [i] for i in range(nseq)}          # cluster -> leaves
+    height = {i: 0.0 for i in range(nseq)}
+    d = {(i, j): float(dist[i, j])
+         for i in range(nseq) for j in range(i + 1, nseq)}
+    w = np.zeros(nseq)
+    nxt = nseq
+    while len(active) > 1:
+        (a, b), dm = min(d.items(), key=lambda kv: kv[1])
+        h = dm / 2.0
+        # the branch above each child spans (h - child_height); GSC
+        # splits it evenly across the child's leaves
+        for child in (a, b):
+            blen = max(h - height[child], 0.0)
+            leaves = active[child]
+            for leaf in leaves:
+                w[leaf] += blen / len(leaves)
+        na, nb = len(active[a]), len(active[b])
+        merged = active.pop(a) + active.pop(b)
+        newd = {}
+        for (x, y), v in d.items():
+            if x in (a, b) or y in (a, b):
+                continue
+            newd[(x, y)] = v
+        for other in active:
+            da = d[(min(a, other), max(a, other))]
+            db = d[(min(b, other), max(b, other))]
+            newd[(min(other, nxt), max(other, nxt))] = (
+                (na * da + nb * db) / (na + nb))
+        active[nxt] = merged
+        height[nxt] = h
+        d = newd
+        nxt += 1
+    if w.sum() <= 0:
+        return np.ones(nseq)
+    w *= nseq / w.sum()
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Effective sequence number (eweight.c)
+# ---------------------------------------------------------------------------
+
+def _mean_match_re(counts_scaled: np.ndarray, background: Background,
+                   prior) -> float:
+    """Mean match relative entropy after parameterizing scaled counts
+    (``p7_MeanMatchRelativeEntropy`` inside the eweight objective)."""
+    from .priors import match_posterior
+    p = match_posterior(counts_scaled, prior)
+    f = background.residue_frequencies
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl = np.where(p > 0, p * np.log2(p / f), 0.0)
+    return float(kl.sum(axis=1).mean())
+
+
+def _entropy_weight_prior(counts: np.ndarray, nseq: float,
+                          background: Background, prior,
+                          etarget: float) -> float:
+    """``p7_EntropyWeight``: bisect Neff in (0, nseq] so the mean match
+    relative entropy of the prior-parameterized model hits ``etarget``
+    (absolute tolerance 0.01, matching the reference rootfinder
+    setting); Neff = nseq when already at/below target."""
+    def f(neff):
+        return _mean_match_re(counts * (neff / nseq),
+                              background, prior) - etarget
+
+    if f(nseq) <= 0.0:
+        return float(nseq)
+    # esl_root_Bisection convention: narrow until the bracket is inside
+    # the absolute tolerance, return the FINAL MIDPOINT (reproduces the
+    # reference's exact Neff grid values, e.g. LuxC EFFN 1.989990 =
+    # midpoint of [1.986816, 1.993164] from (0, 13])
+    lo, hi = 0.0, float(nseq)
+    while hi - lo > 0.01:
+        x = 0.5 * (lo + hi)
+        if f(x) > 0.0:
+            hi = x
+        else:
+            lo = x
+    return 0.5 * (lo + hi)
+
+
+def _entropy_exponent(counts: np.ndarray, background: Background,
+                      prior, etarget: float) -> float:
+    """``p7_EntropyWeight_exp``: bisect the exponent x in (0, 1] so that
+    exponentially rescaled counts (row total n -> n^x) hit the relative
+    entropy target."""
+    def f(x):
+        c = counts.copy()
+        _scale_exponential(c, x)
+        return _mean_match_re(c, background, prior) - etarget
+
+    if f(1.0) <= 0.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    while (hi - lo) / 2.0 > 1e-3:
+        x = 0.5 * (lo + hi)
+        if f(x) > 0.0:
+            hi = x
+        else:
+            lo = x
+    return 0.5 * (lo + hi)
+
+
+def _scale_exponential(block: np.ndarray, expnt: float) -> None:
+    """``p7_hmm_ScaleExponential`` on one count block: rescale each row
+    so its total n becomes n^expnt (rows with n<=0 untouched)."""
+    n = block.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fac = np.where(n > 0, n ** (expnt - 1.0), 1.0)
+    block *= fac

