@@ -38,6 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+# CPU CI escape hatch: run the kernels through the Pallas
+# interpreter (tests/test_pallas_kernels.py) so layout/DP
+# regressions are caught without TPU hardware.
+_INTERPRET = _os.environ.get("PYHMMER_TPU_PALLAS_INTERPRET", "0") == "1"
+
 NEGMASS = -1e30
 KP_PAD = 32
 TINY = 1e-30
@@ -175,6 +181,7 @@ def _fwd_pallas(lens, codes_t, ems, eis, etr, tdd, lm):
             pltpu.VMEM((Mp, Bt), jnp.float32),
             pltpu.VMEM((8, Bt), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(lens, codes_t, ems, eis, etr, tdd, lm)
     return out[:, 0, :]
 
@@ -411,6 +418,7 @@ def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R, Bt=0):
             pltpu.VMEM((Mp, R * Bt), jnp.float32),
             pltpu.VMEM((Mp, R * Bt), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(lens, codes_strips, ems, eis, etr, sdd, lm)
     return out[:, 0, :]
 

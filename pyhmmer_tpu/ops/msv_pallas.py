@@ -30,6 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+# CPU CI escape hatch: run the kernels through the Pallas
+# interpreter (tests/test_pallas_kernels.py) so layout/DP
+# regressions are caught without TPU hardware.
+_INTERPRET = _os.environ.get("PYHMMER_TPU_PALLAS_INTERPRET", "0") == "1"
+
 NEGMASS = -1e30
 KP_PAD = 32   # Kp=29 padded to an MXU-friendly contraction size
 
@@ -151,6 +157,7 @@ def _msv_pallas(codes_strips, cost, tjb, scal, R, Bt=0):
             pltpu.VMEM((Mp, Bt), jnp.float32),
             pltpu.VMEM((1, Bt), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(codes_strips, cost, tjb, scal)
     return out[:, 0, :], ovf[:, 0, :]
 
