@@ -261,7 +261,7 @@ class SearchEngine:
 
     def __init__(self, alphabet: Alphabet, background: Optional[Background] = None,
                  p_max: int = DEFAULT_P_MAX, use_pallas: Optional[bool] = None,
-                 **pipeline_options):
+                 device=None, **pipeline_options):
         self.alphabet = alphabet
         self.background = background or Background(alphabet)
         self.p_max = p_max
@@ -269,6 +269,11 @@ class SearchEngine:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        #: optional jax.Device this engine's buffers/kernels are pinned
+        #: to -- the data-parallel shard placement used by
+        #: ``parallel.mesh.sharded_search`` (one engine per device; the
+        #: async dispatch overlaps execution across chips)
+        self.device = device
         self.options = pipeline_options
         # persistent across searches: configured-model artifacts keyed by
         # query identity, packed target buckets keyed by block identity
@@ -366,6 +371,14 @@ class SearchEngine:
                callback=None) -> List[TopHits]:
         """Run hmmsearch for every query HMM; returns one TopHits each,
         in input order, identical to the sequential pipeline's output."""
+        if self.device is not None:
+            with _jax.default_device(self.device):
+                return self._search_impl(queries, targets, callback)
+        return self._search_impl(queries, targets, callback)
+
+    def _search_impl(self, queries: Sequence[HMM],
+                     targets: DigitalSequenceBlock,
+                     callback=None) -> List[TopHits]:
         queries = list(queries)
         bkey = (id(targets), len(targets))
         if self._buckets_cache is not None and self._buckets_cache[0] == bkey:

@@ -157,14 +157,18 @@ def residue_balanced_chunks(targets, n_chunks: int):
 
 
 def sharded_search(queries, targets, n_shards: Optional[int] = None,
-                   engine_factory=None, **options):
-    """Data-parallel hmmsearch: targets split residue-balanced into
-    ``n_shards`` chunks, each searched independently (one chunk per
-    device/host in a real deployment), partial ``TopHits`` merged with
-    the reference's contract (concatenate, sum auto-Z, re-threshold --
-    ``TopHits.merge``).  The merged output is identical to a single-shot
-    search: the reference asserts the same through its reverse-dispatcher
-    test matrix (``test_hmmer.py:240-370``).
+                   engine_factory=None, devices=None, **options):
+    """Data-parallel hmmsearch over the device set: targets split
+    residue-balanced into ``n_shards`` chunks, one ``SearchEngine`` per
+    chunk PINNED to its own device (``jax.default_device``), partial
+    ``TopHits`` merged with the reference's contract (concatenate, sum
+    auto-Z, re-threshold -- ``TopHits.merge``).  Kernel dispatch is
+    asynchronous, so the per-device cascades overlap across chips; the
+    merged output is hit-for-hit identical to a single-shot search (the
+    reference asserts the same through its reverse-dispatcher test
+    matrix, ``test_hmmer.py:240-370``; pinned here by
+    ``tests/test_apps.py`` on the virtual 8-device CPU mesh and by
+    ``__graft_entry__.dryrun_multichip``).
 
     Returns one merged ``TopHits`` per query, in query order.
     """
@@ -174,16 +178,19 @@ def sharded_search(queries, targets, n_shards: Optional[int] = None,
     queries = list(queries)
     if not queries:
         return []
-    n_shards = n_shards or max(1, len(jax.devices()))
+    devices = list(devices) if devices is not None else jax.devices()
+    n_shards = n_shards or max(1, len(devices))
     chunks = residue_balanced_chunks(targets, n_shards)
     alphabet = queries[0].alphabet
-    factory = engine_factory or (lambda: SearchEngine(alphabet, **options))
+    if engine_factory is None:
+        def engine_factory(device):
+            return SearchEngine(alphabet, device=device, **options)
 
     partials = []   # [shard][query] -> TopHits
-    for chunk in chunks:
+    for si, chunk in enumerate(chunks):
         block = DigitalSequenceBlock(targets.alphabet,
                                      (targets[i] for i in chunk))
-        eng = factory()
+        eng = engine_factory(devices[si % len(devices)])
         partials.append(eng.search(queries, block))
 
     merged = []

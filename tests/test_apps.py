@@ -135,9 +135,14 @@ def test_sharded_search_matches_single_shot(data_dir):
     with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
                       digital=True) as f:
         full = f.read_block()
+    import jax
     targets = DigitalSequenceBlock(full.alphabet, list(full)[:300])
     single = list(ph.hmmsearch([hmm], targets))[0]
-    merged = sharded_search([hmm], targets, n_shards=3)[0]
+    # one shard per virtual device: each engine's buffers/kernels are
+    # pinned to its own device of the 8-device CPU mesh (conftest)
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest should expose 8 virtual devices"
+    merged = sharded_search([hmm], targets, n_shards=len(devices))[0]
     assert merged.Z == single.Z
     s_rows = [(h.name, round(h.score, 4), round(h.evalue, 6), h.included)
               for h in single if h.reported]
