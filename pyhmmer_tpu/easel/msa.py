@@ -21,15 +21,31 @@ class MSA:
     """Base alignment: names + metadata + annotation lines."""
 
     def write(self, fh, format: str = "stockholm") -> None:
-        """Write the MSA to a binary file handle (reference ``MSA.write``)."""
+        """Write the MSA to a binary file handle in any of the
+        reference's 10 formats (``MSA.write``; format list
+        ``easel.pyx:141-152``)."""
         import io as _io
-        from .msafile import write_stockholm, write_afa
+        from . import msafile as MF
 
         text = _io.StringIO()
         if format in ("stockholm", "pfam"):
-            write_stockholm(self, text)
-        elif format in ("afa", "fasta", "a2m"):
-            write_afa(self, text)
+            MF.write_stockholm(self, text)
+        elif format in ("afa", "fasta"):
+            MF.write_afa(self, text)
+        elif format == "a2m":
+            MF.write_a2m(self, text)
+        elif format == "psiblast":
+            MF.write_psiblast(self, text)
+        elif format == "clustal":
+            MF.write_clustal(self, text)
+        elif format == "clustallike":
+            MF.write_clustal(self, text, like=True)
+        elif format == "selex":
+            MF.write_selex(self, text)
+        elif format == "phylip":
+            MF.write_phylip(self, text)
+        elif format == "phylips":
+            MF.write_phylip(self, text, sequential=True)
         else:
             raise ValueError(f"unsupported MSA format: {format!r}")
         fh.write(text.getvalue().encode("ascii"))

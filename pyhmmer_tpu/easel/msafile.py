@@ -15,7 +15,9 @@ from .alphabet import Alphabet
 from .msa import MSA, TextMSA, DigitalMSA
 from .seqfile import guess_alphabet_text
 
-__all__ = ["MSAFile", "write_stockholm", "write_afa"]
+__all__ = ["MSAFile", "write_stockholm", "write_afa", "write_a2m",
+           "write_psiblast", "write_clustal", "write_selex",
+           "write_phylip"]
 
 
 def _parse_stockholm(text: str) -> Iterator[TextMSA]:
@@ -94,12 +96,95 @@ def _parse_afa(text: str) -> Iterator[TextMSA]:
         yield msa
 
 
+def _parse_a2m(text: str) -> Iterator[TextMSA]:
+    """A2M (``esl_msafile_a2m``): FASTA-like dotless alignment where
+    UPPERCASE/'-' are consensus (match) columns and lowercase are
+    insertions relative to the consensus.  Every sequence must imply the
+    same number of consensus columns; insertions are re-aligned by
+    left-justifying each inter-consensus segment and padding with '.'.
+    The reconstructed match/insert structure is recorded as an RF line
+    ('x' = consensus)."""
+    from .seqfile import _parse_fasta
+    seqs = list(_parse_fasta(text))
+    if not seqs:
+        return
+    ncols = None
+    per_seq = []        # (name, match[ncols], inserts[ncols+1])
+    for s in seqs:
+        match: List[str] = []
+        inserts: List[str] = [""]
+        for c in s.sequence:
+            if c == ".":
+                continue
+            if c == "-" or c.isupper():
+                match.append(c)
+                inserts.append("")
+            elif c.islower():
+                inserts[-1] += c
+        if ncols is None:
+            ncols = len(match)
+        elif len(match) != ncols:
+            raise ValueError(
+                f"a2m: sequence {s.name!r} implies {len(match)} consensus "
+                f"columns, expected {ncols}")
+        per_seq.append((s.name, match, inserts))
+    maxins = [max(len(p[2][i]) for p in per_seq)
+              for i in range(ncols + 1)]
+    rows = []
+    for name, match, inserts in per_seq:
+        out = []
+        for i in range(ncols + 1):
+            seg = inserts[i]
+            out.append(seg + "." * (maxins[i] - len(seg)))
+            if i < ncols:
+                out.append(match[i])
+        rows.append("".join(out))
+    msa = TextMSA()
+    msa.names = [p[0] for p in per_seq]
+    msa.rows = rows
+    rf = []
+    for i in range(ncols + 1):
+        rf.append("." * maxins[i])
+        if i < ncols:
+            rf.append("x")
+    msa.reference = "".join(rf).encode()
+    yield msa
+
+
+def _parse_psiblast(text: str) -> Iterator[TextMSA]:
+    """PSI-BLAST (``esl_msafile_psiblast``): interleaved blocks of
+    ``name  alignedseq`` lines with '-' for gaps; no headers, no
+    coordinate columns, sequences in the same order per block."""
+    rows: dict = {}
+    order: List[str] = []
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        nm, seg = parts[0], "".join(parts[1:])
+        if not all(c.isalpha() or c in "-." for c in seg):
+            continue
+        if nm not in rows:
+            order.append(nm)
+            rows[nm] = ""
+        rows[nm] += seg
+    if order:
+        msa = TextMSA()
+        msa.names = [n.encode() for n in order]
+        msa.rows = [rows[n] for n in order]
+        yield msa
+
+
 def _parse_clustal(text: str) -> Iterator[TextMSA]:
     rows: dict = {}
     order: List[str] = []
     for line in text.splitlines():
         s = line.strip()
         if (not s or s.startswith("CLUSTAL") or s.startswith("MUSCLE")
+                or "multiple sequence alignment" in s
                 or set(s) <= set(" .:*")):
             continue
         parts = line.split()
@@ -165,8 +250,12 @@ def _parse_selex(text: str) -> Iterator[TextMSA]:
     ``%``/``#`` comments (``esl_msafile_selex`` semantics)."""
     rows: dict = {}
     order: List[str] = []
+    rf = ""
     for line in text.splitlines():
         s = line.strip()
+        if s.startswith("#=RF"):
+            rf += "".join(s.split()[1:])
+            continue
         if not s or s.startswith("%") or s.startswith("#"):
             continue
         parts = line.split()
@@ -180,6 +269,8 @@ def _parse_selex(text: str) -> Iterator[TextMSA]:
         msa = TextMSA()
         msa.names = [n.encode() for n in order]
         msa.rows = [rows[n] for n in order]
+        if rf:
+            msa.reference = rf.encode()
         yield msa
 
 
@@ -190,10 +281,10 @@ class MSAFile:
         "stockholm": _parse_stockholm,
         "pfam": _parse_stockholm,
         "afa": _parse_afa,
-        "a2m": _parse_afa,
+        "a2m": _parse_a2m,
         "clustal": _parse_clustal,
         "clustallike": _parse_clustal,
-        "psiblast": _parse_clustal,
+        "psiblast": _parse_psiblast,
         "selex": _parse_selex,
         "phylip": _parse_phylip,
         "phylips": _parse_phylip,
@@ -300,3 +391,80 @@ def write_afa(msa, fh) -> None:
         fh.write(f">{n.decode()}\n")
         for i in range(0, len(row), 60):
             fh.write(row[i:i + 60] + "\n")
+
+
+def write_a2m(msa, fh) -> None:
+    """A2M: uppercase/'-' in consensus columns, lowercase elsewhere,
+    insert gaps dropped.  Consensus columns come from the RF line when
+    present, otherwise every column is consensus."""
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    alen = len(text.rows[0]) if text.rows else 0
+    if text.reference and len(text.reference) == alen:
+        is_cons = [chr(c) not in ".-~ " for c in text.reference]
+    else:
+        is_cons = [True] * alen
+    for n, row in zip(text.names, text.rows):
+        out = []
+        for c, cons in zip(row, is_cons):
+            if cons:
+                out.append("-" if c in ".-~" else c.upper())
+            elif c not in ".-~":
+                out.append(c.lower())
+        fh.write(f">{n.decode()}\n")
+        s = "".join(out)
+        for i in range(0, len(s), 60):
+            fh.write(s[i:i + 60] + "\n")
+
+
+def write_psiblast(msa, fh, width: int = 60) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    namew = max((len(n) for n in text.names), default=10)
+    alen = len(text.rows[0]) if text.rows else 0
+    for off in range(0, alen, width):
+        for n, row in zip(text.names, text.rows):
+            seg = row[off: off + width].replace(".", "-")
+            fh.write(f"{n.decode():<{namew}s} {seg}\n")
+        if off + width < alen:
+            fh.write("\n")
+
+
+def write_clustal(msa, fh, width: int = 60, like: bool = False) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    fh.write("Generated CLUSTAL-like multiple sequence alignment\n\n"
+             if like else
+             "CLUSTAL W (pyhmmer-tpu) multiple sequence alignment\n\n")
+    namew = max((len(n) for n in text.names), default=10)
+    alen = len(text.rows[0]) if text.rows else 0
+    for off in range(0, alen, width):
+        for n, row in zip(text.names, text.rows):
+            seg = row[off: off + width].replace(".", "-")
+            fh.write(f"{n.decode():<{namew}s} {seg}\n")
+        fh.write("\n")
+
+
+def write_selex(msa, fh) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    namew = max((len(n) for n in text.names), default=10)
+    if text.reference:
+        fh.write(f"{'#=RF':<{namew}s} {text.reference.decode()}\n")
+    for n, row in zip(text.names, text.rows):
+        fh.write(f"{n.decode():<{namew}s} {row}\n")
+
+
+def write_phylip(msa, fh, sequential: bool = False,
+                 width: int = 60) -> None:
+    text = msa.textize() if isinstance(msa, DigitalMSA) else msa
+    nseq = len(text.names)
+    alen = len(text.rows[0]) if text.rows else 0
+    fh.write(f" {nseq} {alen}\n")
+    namew = max(10, max((len(n) for n in text.names), default=10))
+    if sequential:
+        for n, row in zip(text.names, text.rows):
+            fh.write(f"{n.decode():<{namew}s} {row}\n")
+    else:
+        for off in range(0, alen, width):
+            for si, (n, row) in enumerate(zip(text.names, text.rows)):
+                label = n.decode() if off == 0 else ""
+                fh.write(f"{label:<{namew}s} {row[off: off + width]}\n")
+            if off + width < alen:
+                fh.write("\n")

@@ -100,10 +100,9 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
     # normalize profile inputs to HMMs.  The reference's primary hmmscan
     # input is a pressed DB / OptimizedProfileBlock (_hmmscan.py:190-215);
     # our optimized profiles keep a reference to their core model
-    # (Profile.configure), and a pressed DB's .h3m member carries the
-    # complete parameterization, so every input kind normalizes to HMMs.
-    if isinstance(profiles, HMMPressedFile):
-        profiles = HMMFile(profiles.name + ".h3m")
+    # (Profile.configure) and a pressed DB's optimized profiles are
+    # reconstructed from its .h3m member internally, so every input kind
+    # normalizes to HMMs without relying on any filename convention.
     hmms = []
     for p in profiles:
         if isinstance(p, HMM):
@@ -123,12 +122,15 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
     alphabet = queries[0].alphabet
 
     backend = options.pop("backend", "tpu")
-    if backend != "oracle" and options.get("bit_cutoffs") is None:
+    if backend != "oracle":
         # engine-backed scan: a scan is the transpose of a search (the
         # reference shares p7_Pipeline between the two; only Z differs,
         # plan7.pyx:5211-5215), so run the batched engine with the
         # profile DB as queries and the scan queries as targets, then
-        # re-key each hit by its model
+        # re-key each hit by its model.  Model-specific bit cutoffs
+        # (GA/TC/NC) are per-pipeline in the engine's chunk state, so
+        # cutoff scans route through the engine too; the per-model
+        # reported/included flags are preserved on the re-keyed hits.
         return iter(_scan_via_engine(hmms, queries, alphabet, background,
                                      callback, options))
 
@@ -152,6 +154,7 @@ def _scan_via_engine(hmms, queries, alphabet, background, callback,
     block = DigitalSequenceBlock(alphabet, queries)
     eng = SearchEngine(alphabet, background, **options)
     per_hmm = eng.search(hmms, block)
+    cutoff_mode = options.get("bit_cutoffs") is not None
 
     # index per-model results by target-sequence name
     by_seq = []   # [mi] -> {seq name: Hit}
@@ -194,9 +197,21 @@ def _scan_via_engine(hmms, queries, alphabet, background, callback,
                 nd.hit = nh
                 nh.domains.append(nd)
             nh.best_domain_idx = h.best_domain_idx
+            if cutoff_mode:
+                # each model's search already applied ITS OWN GA/TC/NC
+                # thresholds; carry the flags over (a single uniform
+                # re-threshold would apply one model's cutoffs to all)
+                nh.reported = h.reported
+                nh.included = h.included
+                for nd, d in zip(nh.domains, h.domains):
+                    nd.flags = d.flags
             th.hits.append(nh)
         th.sort_by_key()
-        th.threshold()
+        if cutoff_mode:
+            if th.domZ_setby == "ntargets":
+                th.domZ = float(sum(1 for h in th.hits if h.reported))
+        else:
+            th.threshold()
         out.append(th)
         if callback is not None:
             callback(q, len(queries))

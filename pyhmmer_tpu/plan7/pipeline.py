@@ -543,16 +543,40 @@ class Pipeline:
         hits.query_accession = query.accession
         hits.query_length = len(query)
         self.nseqs += 1
+        from .results import F_REPORTED, F_INCLUDED
         for hmm in hmms:
             prof, prof_uni = self._new_model(hmm)
             if self.Z_setby == "ntargets":
                 self.Z = float(self.nmodels)
+            n0 = len(hits.hits)
             self._process_target(prof, prof_uni, query, hits)
+            if self.bit_cutoffs_mode is not None:
+                # model-specific GA/TC/NC thresholds: flag THIS model's
+                # hits with its own cutoffs before the next model
+                # overwrites them (a single final threshold pass would
+                # apply the last model's cutoffs to every hit)
+                hits.bit_cutoffs = self.bit_cutoffs
+                for h in hits.hits[n0:]:
+                    h.reported = hits._hit_is_reportable(h)
+                    h.included = hits._hit_is_includable(h)
+                    for d in h.domains:
+                        d.flags = 0
+                        if h.reported:
+                            if hits._dom_is_reportable(d):
+                                d.flags |= F_REPORTED
+                            if (h.included
+                                    and hits._dom_is_includable(d)):
+                                d.flags |= F_INCLUDED
         hits._take_accounting(self)
         if hits.Z_setby == "ntargets":
             hits.Z = float(self.nmodels)
         hits.sort_by_key()
-        hits.threshold()
+        if self.bit_cutoffs_mode is not None:
+            if hits.domZ_setby == "ntargets":
+                hits.domZ = float(
+                    sum(1 for h in hits.hits if h.reported))
+        else:
+            hits.threshold()
         return hits
 
     def iterate_seq(self, query: DigitalSequence, sequences, builder=None,

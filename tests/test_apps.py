@@ -149,3 +149,51 @@ def test_sharded_search_matches_single_shot(data_dir):
     m_rows = [(h.name, round(h.score, 4), round(h.evalue, 6), h.included)
               for h in merged if h.reported]
     assert s_rows == m_rows
+
+
+def test_hmmscan_bit_cutoffs_engine_routing(data_dir):
+    """GA-cutoff hmmscan goes through the batched engine with per-model
+    thresholds preserved; flags match the sequential oracle scan."""
+    with HMMFile(data_dir / "hmms" / "txt" / "PF02826.hmm") as f:
+        hmms = list(f)
+    with HMMFile(data_dir / "hmms" / "txt" / "LuxC.hmm") as f:
+        hmms += list(f)
+    assert all(h.cutoffs[0] > -99998.0 for h in hmms)  # GA present
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        full = f.read_block()
+    # pick targets that include golden PF02826 hits
+    names = set()
+    for line in open(data_dir / "tables" / "PF02826.tbl"):
+        if not line.startswith("#"):
+            names.add(line.split()[0].encode())
+    queries = [s for s in full if s.name in names][:6]
+    eng = list(ph.hmmscan(queries, hmms, bit_cutoffs="gathering"))
+    ora = list(ph.hmmscan(queries, hmms, bit_cutoffs="gathering",
+                          backend="oracle"))
+    assert len(eng) == len(ora) == len(queries)
+    for te, to in zip(eng, ora):
+        re_ = [(h.name, round(h.score, 3), h.included) for h in te
+               if h.reported]
+        ro = [(h.name, round(h.score, 3), h.included) for h in to
+              if h.reported]
+        assert re_ == ro
+    # the PF02826 GA is low enough that the golden targets report
+    assert any(len([h for h in t if h.reported]) for t in eng)
+
+
+def test_hmmscan_pressed_file_direct(data_dir, tmp_path):
+    """hmmscan over an HMMPressedFile iterates the pressed DB directly
+    (no .h3m filename convention on the caller side)."""
+    with HMMFile(data_dir / "hmms" / "txt" / "RREFam.hmm") as f:
+        hmms = list(f)
+    base = tmp_path / "RRE.hmm"
+    ph.hmmpress(hmms, base)
+    from pyhmmer_tpu.plan7.optimized import HMMPressedFile
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        seqs = list(f.read_block())[:4]
+    pf = HMMPressedFile(base)
+    res = list(ph.hmmscan(seqs, pf))
+    assert len(res) == 4
+    assert all(r.Z == len(hmms) for r in res)
