@@ -305,10 +305,23 @@ class HMMPressedFile:
         if base.endswith((".h3m", ".h3f", ".h3p", ".h3i")):
             base = base[:-4]
         self._path = base
-        for ext in (".h3m", ".h3i"):
-            if not os.path.exists(base + ext):
-                raise FileNotFoundError(base + ext)
-        self._hmmfile = HMMFile(base + ".h3m")
+        self._hmms: Optional[list] = None
+        self._hmm_iter = None
+        from .pressed import is_reference_pressed
+        if (os.path.exists(base + ".h3f")
+                and is_reference_pressed(base + ".h3f")):
+            # a database pressed by HMMER itself: reconstruct the
+            # models from the real .h3f/.h3p members (plan7/pressed.py)
+            # -- no .h3m required
+            from .pressed import reconstruct_models
+            self._hmms = reconstruct_models(base + ".h3f", base + ".h3p")
+            self._hmm_iter = iter(self._hmms)
+            self._hmmfile = None
+        else:
+            for ext in (".h3m", ".h3i"):
+                if not os.path.exists(base + ext):
+                    raise FileNotFoundError(base + ext)
+            self._hmmfile = HMMFile(base + ".h3m")
         self._bg: Optional[Background] = None
 
     @property
@@ -316,7 +329,10 @@ class HMMPressedFile:
         return self._path
 
     def read(self) -> Optional[OptimizedProfile]:
-        hmm = self._hmmfile.read()
+        if self._hmm_iter is not None:
+            hmm = next(self._hmm_iter, None)
+        else:
+            hmm = self._hmmfile.read()
         if hmm is None:
             return None
         if self._bg is None or self._bg.alphabet != hmm.alphabet:
@@ -325,7 +341,10 @@ class HMMPressedFile:
         return OptimizedProfile(prof)
 
     def rewind(self):
-        self._hmmfile.rewind()
+        if self._hmm_iter is not None:
+            self._hmm_iter = iter(self._hmms)
+        else:
+            self._hmmfile.rewind()
 
     def __iter__(self) -> Iterator[OptimizedProfile]:
         return self
