@@ -356,7 +356,8 @@ class HMMPressedFile:
         return om
 
     def close(self):
-        self._hmmfile.close()
+        if self._hmmfile is not None:
+            self._hmmfile.close()
 
     def __enter__(self):
         return self
