@@ -63,10 +63,22 @@ def main():
     # hyperfine runs)
     times = []
     results = None
+    stages = None
+    from pyhmmer_tpu.ops import native as _native
     for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
+        _native.phase_reset()
         t0 = time.time()
         results = eng.search(queries, targets)
-        times.append(time.time() - t0)
+        dt_run = time.time() - t0
+        times.append(dt_run)
+        if dt_run == min(times):
+            stages = {k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in getattr(eng, "last_timing", {}).items()}
+            ph = _native.phase_times()
+            if ph is not None:
+                stages["native_s"] = {
+                    k: round(float(v), 3)
+                    for k, v in zip(_native.PHASE_LABELS, ph) if v > 0.005}
     dt = min(times)
 
     ncmp = len(queries) * len(targets)
@@ -84,6 +96,7 @@ def main():
         "value": round(value, 1),
         "unit": "profile*seq cmp/s",
         "vs_baseline": round(value / BASELINE_CMP_PER_S, 4),
+        "stages": stages or {},
     }))
     print(f"# {len(queries)} queries x {len(targets)} targets = {ncmp} "
           f"comparisons; runs {['%.2f' % t for t in times]}s, best "

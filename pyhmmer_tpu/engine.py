@@ -78,6 +78,11 @@ class _Buckets:
                            & (lengths <= Lmax))[0]
             if len(sel) == 0:
                 continue
+            # length-sorted lanes: the kernels stop each 128/256-lane
+            # tile after its longest sequence (per-tile bounds), so
+            # grading lanes by length turns the bucket's Lmax padding
+            # into near-actual row counts
+            sel = sel[np.argsort(lengths[sel], kind="stable")]
             Bcap = max(64, (1 << 22) // Lmax)
             for s0 in range(0, len(sel), Bcap):
                 idx = sel[s0: s0 + Bcap]
@@ -129,7 +134,8 @@ from functools import partial as _partial
 def _gather_survivors_strips(codes_t, lens_d, ridx, R, Bt):
     """Like :func:`_gather_survivors` but returns strip-packed codes
     ``[L/R, R*Bp]`` (tile-major over lane tiles of width ``Bt``, see
-    ``SeqDevice.strips``) for the v2 Forward kernel."""
+    ``SeqDevice.strips``) plus per-lane-tile strip bounds for the v2
+    Forward kernel."""
     valid = ridx >= 0
     r = jnp.maximum(ridx, 0)
     ct = jnp.take(codes_t, r, axis=1)
@@ -141,23 +147,29 @@ def _gather_survivors_strips(codes_t, lens_d, ridx, R, Bt):
     pmove = 3.0 / (Lf + 3.0)
     lm = jnp.stack([1.0 - pmove, pmove,
                     jnp.log1p(-pmove), jnp.log(pmove)])
-    return strips, lens.reshape(1, -1), lm
+    tmax = lens.reshape(Bp // Bt, Bt).max(axis=1)
+    bnd = jnp.maximum((tmax + R - 1) // R, 1).astype(jnp.int32)
+    return strips, lens.reshape(1, -1), lm, bnd.reshape(1, -1)
 
 
-@_jax.jit
-def _gather_survivors(codes_t, lens_d, ridx):
+@_partial(_jax.jit, static_argnames=("Bt",))
+def _gather_survivors(codes_t, lens_d, ridx, Bt):
     """Device-side survivor gather for the Pallas kernels: one uploaded
     index row (-1 marks padding) -> transposed codes [L, Bp], length row
-    [1, Bp] (0 on padding), and the 4-row length-model table."""
+    [1, Bp] (0 on padding), the 4-row length-model table, and per-tile
+    row bounds for lane tiles of width ``Bt``."""
     valid = ridx >= 0
     r = jnp.maximum(ridx, 0)
     ct = jnp.take(codes_t, r, axis=1)
+    Bp = ct.shape[1]
     lens = jnp.where(valid, jnp.take(lens_d, r), 0).astype(jnp.int32)
     Lf = jnp.maximum(lens.astype(jnp.float32), 1.0)
     pmove = 3.0 / (Lf + 3.0)
     lm = jnp.stack([1.0 - pmove, pmove,
                     jnp.log1p(-pmove), jnp.log(pmove)])
-    return ct, lens.reshape(1, -1), lm
+    bnd = jnp.maximum(lens.reshape(Bp // Bt, Bt).max(axis=1),
+                      1).astype(jnp.int32)
+    return ct, lens.reshape(1, -1), lm, bnd.reshape(1, -1)
 
 
 @_jax.jit
@@ -291,7 +303,8 @@ class SearchEngine:
             Bt = _lane_tile(dev.Lmax, dev.Bpad)
             R = _strip_r(t["cost"].shape[1], Bt)
             dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"],
-                                  dev.tjb_row, t["scal"], R, Bt)
+                                  dev.tjb_row, t["scal"],
+                                  dev.tile_bounds(R, Bt), R, Bt)
             return dx[:, : dev.B], ovf[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
@@ -331,10 +344,10 @@ class SearchEngine:
             Bp = int(ridx_dev.shape[0])
             Bt = _lane_tile(dev.Lmax, Bp)
             R = FP._strip_r_fwd(t["Mp"], Bt)
-            strips, lens, lm = _gather_survivors_strips(
+            strips, lens, lm, bnd = _gather_survivors_strips(
                 dev.codes_t, dev.lens_d, ridx_dev, R, Bt)
             out = FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
-                                  t["etr2"], t["sdd"], lm, R, Bt)
+                                  t["etr2"], t["sdd"], lm, bnd, R, Bt)
             return out, n
         from .ops.batch import _forward_kernel
         codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)
@@ -349,11 +362,12 @@ class SearchEngine:
     def _viterbi_dev(self, pb, dev, ridx_dev, n):
         if self.use_pallas:
             from .ops import vit_pallas as VP
-            codes_t, lens, lm = _gather_survivors(
-                dev.codes_t, dev.lens_d, ridx_dev)
+            Bt = min(int(ridx_dev.shape[0]), 256)
+            codes_t, lens, lm, bnd = _gather_survivors(
+                dev.codes_t, dev.lens_d, ridx_dev, Bt)
             t = VP.build_vit_tensors(pb)
             out = VP._vit_pallas(lens, codes_t, t["msc"], t["isc"],
-                                 t["tr"], lm)
+                                 t["tr"], lm, bnd)
             return out, n
         from .ops.batch import _viterbi_kernel
         codes, mask, loop, move = _gather_rows_dev(dev, ridx_dev)
@@ -429,8 +443,7 @@ class SearchEngine:
         _tmark = {}
 
         def _mark(name):
-            if _timing:
-                _tmark[name] = _time.time() - _t0
+            _tmark[name] = _time.time() - _t0
         native_ok = _native.available()
         nthreads = max(2, (os.cpu_count() or 2))
         executor = _cf.ThreadPoolExecutor(nthreads) if native_ok else None
@@ -492,100 +505,155 @@ class SearchEngine:
 
         # -- stage 1 (device): MSV for every chunk x bucket --
         s1_parts = []
-        for st in states:
-            for bucket in buckets.buckets:
+        s1_pairs = []
+        for ci, st in enumerate(states):
+            for bi, bucket in enumerate(buckets.buckets):
                 dev = bucket[3]
                 dx, ovf = self._msv_dev(st.pb, dev)
                 s1_parts.extend([dx, ovf])
+                s1_pairs.append((ci, bi))
         _mark("s1_enqueued")
-        s1_np = _fetch_all(s1_parts)
-        _mark("s1_fetched")
 
         # -- stage 1 (host): MSV gate, then the exact bias filter on the
-        # survivors only (reference cascade order, p7_pipeline.c) --
+        # survivors only (reference cascade order, p7_pipeline.c).  The
+        # per-profile bias batches run on the worker pool (the native
+        # batch call releases the GIL), overlapping the numpy gating of
+        # the remaining (chunk, bucket) pairs. --
         s2_jobs = []
-        k1 = 0
-        for ci, st in enumerate(states):
-            for bi, bucket in enumerate(buckets.buckets):
-                idx, codes, lengths, dev = bucket
-                Preal = st.Preal
-                dx = s1_np[k1][:Preal].astype(np.float64)
-                ovf = s1_np[k1 + 1][:Preal]
-                k1 += 2
+        s1_host_jobs = []   # (npairs1, ci, bi, args, fut)
 
-                nres = int(lengths.sum())
-                nseq_real = int((lengths > 0).sum())
-                for pli in st.pipelines:
-                    pli.nseqs += nseq_real
-                    pli.nres += nres
-
-                valid_b = lengths > 0
-                L = np.maximum(lengths.astype(np.float64), 1.0)
-                nullsc = (L * np.log(L / (L + 1.0))
-                          + np.log(1.0 / (L + 1.0)))          # [B]
-                from .ops.quantize import tjb_units
-                usc = ((dx - tjb_units(np.maximum(lengths, 1))
-                        [None, :]) / st.pb.scale_b - 3.0)
-                usc[ovf > 0] = np.inf
-
-                P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
-                                 st.ev[:, 0:1], st.ev[:, 1:2])
-                pass1 = (P1 <= st.F1) & valid_b[None, :]
-                for pi, pli in enumerate(st.pipelines):
-                    pli.n_past_msv += int(pass1[pi].sum())
-                if not pass1.any():
+        def _bias_stage(st, codes, lengths, pass1, nullsc, usc):
+            """Worker body: exact bias filter for every profile's MSV
+            survivors in one (chunk, bucket)."""
+            filtersc = np.full_like(usc, np.nan)
+            P1b = np.full_like(usc, np.inf)
+            pass2 = np.zeros_like(pass1)
+            for pi, pli in enumerate(st.pipelines):
+                cols = np.where(pass1[pi])[0]
+                if len(cols) == 0:
                     continue
-                filtersc = np.full_like(usc, np.nan)
-                P1b = np.full_like(usc, np.inf)
-                pass2 = np.zeros_like(pass1)
+                if pli.bias_filter:
+                    logsc = self._bias_host(st, pi, codes, lengths, cols)
+                    filtersc[pi, cols] = logsc + nullsc[cols]
+                else:
+                    filtersc[pi, cols] = nullsc[cols]
+                P1b[pi, cols] = gumbel_surv(
+                    (usc[pi, cols] - filtersc[pi, cols]) / LOG2,
+                    st.ev[pi, 0], st.ev[pi, 1])
+                pass2[pi, cols] = P1b[pi, cols] <= pli.F1
+            return filtersc, P1b, pass2
+
+        for st in states:
+            # prewarm the per-pipeline odds tables serially (idempotent
+            # cached property; avoids racy first-builds on the pool)
+            for pli in st.pipelines:
+                if pli.bias_filter:
+                    pli.background.filter_odds_table()
+
+        def _gate_pair(ci, bi, dx_raw, ovf_raw):
+            st = states[ci]
+            idx, codes, lengths, dev = buckets.buckets[bi]
+            Preal = st.Preal
+            dx = dx_raw[:Preal].astype(np.float64)
+            ovf = ovf_raw[:Preal]
+
+            nres = int(lengths.sum())
+            nseq_real = int((lengths > 0).sum())
+            for pli in st.pipelines:
+                pli.nseqs += nseq_real
+                pli.nres += nres
+
+            valid_b = lengths > 0
+            L = np.maximum(lengths.astype(np.float64), 1.0)
+            nullsc = (L * np.log(L / (L + 1.0))
+                      + np.log(1.0 / (L + 1.0)))          # [B]
+            from .ops.quantize import tjb_units
+            usc = ((dx - tjb_units(np.maximum(lengths, 1))
+                    [None, :]) / st.pb.scale_b - 3.0)
+            usc[ovf > 0] = np.inf
+
+            P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
+                             st.ev[:, 0:1], st.ev[:, 1:2])
+            pass1 = (P1 <= st.F1) & valid_b[None, :]
+            for pi, pli in enumerate(st.pipelines):
+                pli.n_past_msv += int(pass1[pi].sum())
+            if not pass1.any():
+                return
+            args = (st, codes, lengths, pass1, nullsc, usc)
+            fut = (executor.submit(_bias_stage, *args)
+                   if executor is not None else None)
+            s1_host_jobs.append((int(pass1.sum()), ci, bi, args, fut))
+
+        # fetch the MSV stage in two halves so the first half's host
+        # gating (and its bias batches on the pool) overlaps the second
+        # half's device kernels
+        nh = (len(s1_pairs) + 1) // 2
+        for lo, hi in ((0, nh), (nh, len(s1_pairs))):
+            if lo >= hi:
+                continue
+            arrs = _fetch_all(s1_parts[2 * lo: 2 * hi])
+            if lo == 0:
+                _mark("s1_fetched")
+            for j, (ci, bi) in enumerate(s1_pairs[lo:hi]):
+                _gate_pair(ci, bi, arrs[2 * j], arrs[2 * j + 1])
+
+        # gate + route in descending survivor count so the densest
+        # Forward kernels are enqueued (and later fetched) first -- their
+        # domaindef jobs reach the host pool earliest
+        s1_host_jobs.sort(key=lambda j: -j[0])
+        s2_parts = []
+        for npairs1, ci, bi, args, fut in s1_host_jobs:
+            st = states[ci]
+            idx, codes, lengths, dev = buckets.buckets[bi]
+            filtersc, P1b, pass2 = (fut.result() if fut is not None
+                                    else _bias_stage(*args))
+            nullsc = args[4]
+            for pi, pli in enumerate(st.pipelines):
+                pli.n_past_bias += int(pass2[pi].sum())
+            if not pass2.any():
+                continue
+            bsel = np.where(pass2.any(axis=0))[0]
+            ctx[(ci, bi)] = dict(filtersc=filtersc, nullsc=nullsc,
+                                 pass2=pass2, P1b=P1b, bsel=bsel)
+            # sparse jobs skip the device cascade entirely: the scan
+            # kernels are latency-bound per row (cost ~ Lmax x P
+            # grid steps regardless of lane count), so when only a
+            # handful of (profile, target) pairs survive, the native
+            # host path (Viterbi gate + domaindef with its exact
+            # fwd_min bail) is cheaper AND overlaps the device work
+            # of the dense buckets
+            npairs = int(pass2.sum())
+            Lmax_b = codes.shape[1]
+            host_budget = native_ok and npairs <= max(
+                4, int(6e-4 * Lmax_b * st.pb.P))
+            if host_budget:
                 for pi, pli in enumerate(st.pipelines):
-                    cols = np.where(pass1[pi])[0]
+                    cols = np.where(pass2[pi])[0]
                     if len(cols) == 0:
                         continue
-                    if pli.bias_filter:
-                        logsc = self._bias_host(st, pi, codes, lengths,
-                                                cols)
-                        filtersc[pi, cols] = logsc + nullsc[cols]
-                    else:
-                        filtersc[pi, cols] = nullsc[cols]
-                    P1b[pi, cols] = gumbel_surv(
-                        (usc[pi, cols] - filtersc[pi, cols]) / LOG2,
-                        st.ev[pi, 0], st.ev[pi, 1])
-                    pass2[pi, cols] = P1b[pi, cols] <= pli.F1
-                    pli.n_past_bias += int(pass2[pi].sum())
-                if not pass2.any():
-                    continue
-                bsel = np.where(pass2.any(axis=0))[0]
-                ctx[(ci, bi)] = dict(filtersc=filtersc, nullsc=nullsc,
-                                     pass2=pass2, P1b=P1b, bsel=bsel)
-                # sparse jobs skip the device cascade entirely: the scan
-                # kernels are latency-bound per row (cost ~ Lmax x P
-                # grid steps regardless of lane count), so when only a
-                # handful of (profile, target) pairs survive, the native
-                # host path (Viterbi gate + domaindef with its exact
-                # fwd_min bail) is cheaper AND overlaps the device work
-                # of the dense buckets
-                npairs = int(pass2.sum())
-                Lmax_b = codes.shape[1]
-                host_budget = native_ok and npairs <= max(
-                    4, int(6e-4 * Lmax_b * st.pb.P))
-                if host_budget:
-                    for pi, pli in enumerate(st.pipelines):
-                        cols = np.where(pass2[pi])[0]
-                        if len(cols) == 0:
-                            continue
-                        ev = st.ev[pi]
-                        skip = P1b[pi, cols] <= pli.F2 * F2_SKIP_SLACK
-                        pli.n_past_vit += int(skip.sum())
-                        vmin = (filtersc[pi, cols]
-                                + LOG2 * (ev[2]
-                                          - np.log(pli.F2) / ev[3]))
-                        vit_min_row = np.where(skip, -np.inf, vmin)
-                        _submit(ci, bi, pi,
-                                np.ones(len(cols), dtype=bool),
-                                cols, idx, vit_min_row)
-                    continue
-                s2_jobs.append((ci, bi))
+                    ev = st.ev[pi]
+                    skip = P1b[pi, cols] <= pli.F2 * F2_SKIP_SLACK
+                    pli.n_past_vit += int(skip.sum())
+                    vmin = (filtersc[pi, cols]
+                            + LOG2 * (ev[2]
+                                      - np.log(pli.F2) / ev[3]))
+                    vit_min_row = np.where(skip, -np.inf, vmin)
+                    _submit(ci, bi, pi,
+                            np.ones(len(cols), dtype=bool),
+                            cols, idx, vit_min_row)
+                continue
+            # enqueue this job's Forward kernel immediately: device work
+            # starts while later bias batches are still being gated
+            c = ctx[(ci, bi)]
+            n = len(c["bsel"])
+            Bp = max(128, _pad_b(n))
+            ridx = np.full(Bp, -1, dtype=np.int32)
+            ridx[:n] = c["bsel"]
+            fsc_dev, nsel = self._forward_dev(
+                st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n)
+            c["nsel"] = nsel
+            s2_parts.append(fsc_dev)
+            s2_jobs.append((ci, bi))
 
         # -- stage 2 (device): Forward over bias survivors --
         # Fetch economics (measured): one device->host fetch on the
@@ -599,18 +667,6 @@ class SearchEngine:
         # applied afterwards only where P1b did not already skip it --
         # the gate predicates are independent, so the surviving set is
         # identical to the reference order.)
-        s2_parts = []
-        for cj, bi in s2_jobs:
-            c = ctx[(cj, bi)]
-            n = len(c["bsel"])
-            Bp = max(128, _pad_b(n))
-            ridx = np.full(Bp, -1, dtype=np.int32)
-            ridx[:n] = c["bsel"]
-            fsc_dev, nsel = self._forward_dev(
-                states[cj].pb, buckets.buckets[bi][3],
-                jnp.asarray(ridx), n)
-            c["nsel"] = nsel
-            s2_parts.append(fsc_dev)
         s3_jobs = []
         s3_parts = []
 
@@ -739,6 +795,10 @@ class SearchEngine:
         if executor is not None:
             executor.shutdown()
         _mark("collect_done")
+        _tmark["npending"] = len(pending)
+        #: per-search stage timing (seconds since search start), kept for
+        #: diagnostics / the bench stage breakdown
+        self.last_timing = dict(_tmark)
         if _timing:
             import sys as _sys
             print("# engine timing: " + " ".join(

@@ -259,7 +259,27 @@ def _seqdev_strips(self, R: int, Bt: int = 0):
     return d
 
 
+def _seqdev_tile_bounds(self, R: int, Bt: int):
+    """Per-lane-tile row bounds ``[1, nBt] int32`` for the scan kernels:
+    tile ``b`` only needs ``ceil(max(len)/R)`` grid-loop steps, because
+    rows past every lane's length are nonresidue padding that cannot
+    change any output.  With lanes sorted by length (``_Buckets``), short
+    tiles stop early and the scan cost tracks the *actual* residue count
+    instead of the bucket's Lmax."""
+    key = ("bounds", R, Bt)
+    d = self._strips.get(key)
+    if d is None:
+        lens = np.zeros(self.Bpad, dtype=np.int64)
+        lens[: self.B] = self.lengths
+        tmax = lens.reshape(self.Bpad // Bt, Bt).max(axis=1)
+        d = jnp.asarray(np.maximum((tmax + R - 1) // R, 1)
+                        .astype(np.int32).reshape(1, -1))
+        self._strips[key] = d
+    return d
+
+
 SeqDevice.strips = _seqdev_strips
+SeqDevice.tile_bounds = _seqdev_tile_bounds
 
 
 def msv_scores(pb: ProfileBatch, codes: np.ndarray, lengths: np.ndarray,

@@ -280,7 +280,8 @@ def _strip_r_fwd(Mp: int, B: int) -> int:
 
 
 def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
-               lm_ref, out_ref, mrow, irow, spec, emstrip, eistrip, *, R):
+               lm_ref, bnd_ref, out_ref, mrow, irow, spec, emstrip,
+               eistrip, *, R):
     """grid (P, nBt): one profile x one lane tile of the survivor batch.
 
     Per-row critical path: the DD-path matmul consumes the PREVIOUS row's
@@ -368,7 +369,11 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
             irow[...] = ni * inv
         return 0
 
-    jax.lax.fori_loop(0, nS, strip, 0)
+    # dynamic per-tile bound: every special freezes via the length mask
+    # once i >= len, so stopping after the tile's longest sequence is
+    # exact (tails are nonresidue-coded and hold zero emission odds)
+    nS_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], nS)
+    jax.lax.fori_loop(0, nS_b, strip, 0)
     c_ = spec[1:2, :]
     score = jnp.where(c_ > 0.0,
                       jnp.log(jnp.maximum(c_, TINY)) + spec[3:4, :]
@@ -378,7 +383,7 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
 
 
 @partial(jax.jit, static_argnames=("R", "Bt"))
-def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R, Bt=0):
+def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, bnd, R, Bt=0):
     """lens [1, B] i32; codes_strips [L/R, R*B] i32 (tile-major when
     Bt < B, see ``SeqDevice.strips``); ems/eis [P, Mp, KP_PAD] f32; etr
     [P, Mp, 8] f32 (slot 6 = w_e); sdd [P, Mp, Mp] f32 (pre-shifted
@@ -407,6 +412,7 @@ def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R, Bt=0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
         ],
         out_specs=pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                                memory_space=pltpu.VMEM),
@@ -419,7 +425,7 @@ def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, R, Bt=0):
             pltpu.VMEM((Mp, R * Bt), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(lens, codes_strips, ems, eis, etr, sdd, lm)
+    )(lens, codes_strips, ems, eis, etr, sdd, lm, bnd)
     return out[:, 0, :]
 
 

@@ -62,8 +62,8 @@ def _lane_tile(Lmax: int, Bpad: int, budget: int = 1 << 19) -> int:
     return min(bt, Bpad) if Bpad >= 128 else Bpad
 
 
-def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
-              mpv, xj, *, R):
+def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref,
+              out_ref, ovf_ref, mpv, xj, *, R):
     """grid (P, nBt): one profile x one lane tile of the bucket.
 
     ``codes_ref`` is strip-packed ``[L/R, R*Bt]`` (host layout: row s holds
@@ -113,17 +113,23 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, out_ref, ovf_ref,
             xb = jnp.maximum(base, xj[...]) - tjb
         return xb
 
-    jax.lax.fori_loop(0, nS, strip, xb0)
+    # dynamic per-tile bound: rows past every lane's length are padding
+    # (costb = 255 - bias zeroes the state and cannot raise xj), so the
+    # scan stops after the tile's longest sequence -- exact by the same
+    # argument that makes full-length padding safe
+    nS_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], nS)
+    jax.lax.fori_loop(0, nS_b, strip, xb0)
     out_ref[...] = (xj[...] - base)[None]
     ovf_ref[...] = (xj[...] >= 255.0 - bias - tec).astype(jnp.float32)[None]
 
 
 @partial(jax.jit, static_argnames=("R", "Bt"))
-def _msv_pallas(codes_strips, cost, tjb, scal, R, Bt=0):
+def _msv_pallas(codes_strips, cost, tjb, scal, bnd, R, Bt=0):
     """codes_strips [L/R, R*B] int32 strip-packed tile-major
     (nonresidue-padded); cost [P, Mp, KP_PAD] f32 quantized biased costs
     (255 in padding); tjb [1, B] f32; scal [P, 4] f32 (bias, tec, tbm,
-    -); Bt = lane-tile width (0 = whole B).
+    -); bnd [1, B/Bt] i32 per-lane-tile strip bounds; Bt = lane-tile
+    width (0 = whole B).
     Returns (xJ - base) [P, B] f32 and overflow flags [P, B] f32."""
     P, Mp, _ = cost.shape
     nS, RB = codes_strips.shape
@@ -142,6 +148,7 @@ def _msv_pallas(codes_strips, cost, tjb, scal, R, Bt=0):
             pl.BlockSpec((1, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [P, 4], full
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
         ],
         out_specs=(
             pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
@@ -158,7 +165,7 @@ def _msv_pallas(codes_strips, cost, tjb, scal, R, Bt=0):
             pltpu.VMEM((1, Bt), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(codes_strips, cost, tjb, scal)
+    )(codes_strips, cost, tjb, scal, bnd)
     return out[:, 0, :], ovf[:, 0, :]
 
 
@@ -193,7 +200,7 @@ def msv_scores_pallas(pb, codes: np.ndarray, lengths: np.ndarray,
     Bt = _lane_tile(dev.Lmax, dev.Bpad)
     R = _strip_r(t["cost"].shape[1], Bt)
     dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
-                          t["scal"], R, Bt)
+                          t["scal"], dev.tile_bounds(R, Bt), R, Bt)
     from .quantize import tjb_units
     usc = ((np.asarray(dx, np.float64)[:, :B]
             - tjb_units(np.maximum(lengths, 1))[None, :])

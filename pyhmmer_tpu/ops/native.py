@@ -486,18 +486,13 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     for d in range(ndom):
         a, b, iali, jali, hmmfrom, hmmto = dom_int[6 * d: 6 * d + 6]
         o0, o1 = int(tr_off[d]), int(tr_off[d + 1])
-        tr = dd.Trace(
-            states=[chr(c) for c in tr_st[o0:o1]],
-            k=tr_k[o0:o1].tolist(),
-            i=tr_i[o0:o1].tolist(),
-            pp=tr_pp[o0:o1].tolist(),
-        )
-        # numpy copies for the vectorized alignment-display builder
-        # (the shared per-thread buffers are reused on the next call,
-        # so these must be materialized copies)
-        tr.np_arrays = (tr_st[o0:o1].astype(np.uint8),
-                        tr_k[o0:o1].copy(), tr_i[o0:o1].copy(),
-                        tr_pp[o0:o1].copy())
+        # numpy copies only (the shared per-thread buffers are reused on
+        # the next call); the Trace materializes its list views lazily --
+        # the hit path consumes the arrays directly
+        tr = dd.Trace(np_arrays=(
+            tr_st[o0:o1].astype(np.uint8),
+            tr_k[o0:o1].copy(), tr_i[o0:o1].copy(),
+            tr_pp[o0:o1].copy()))
         dom = dd.DomainEnvelope(
             ienv=int(a), jenv=int(b),
             envsc=float(dom_dbl[3 * d]),
@@ -555,3 +550,31 @@ def bias_filter_rows(odds1: np.ndarray, codes: np.ndarray,
 
 def available() -> bool:
     return get_lib() is not None
+
+
+#: phase labels for the hmmdp_phase_s diagnostic accumulators
+PHASE_LABELS = ("full_fwd", "full_bck", "decode_regions", "env_fwdbck",
+                "env_decode", "null2", "optacc_trace", "stotrace_cluster")
+
+
+def phase_times() -> Optional[np.ndarray]:
+    """Cumulative per-phase wall seconds spent inside hmmdp_domaindef
+    (diagnostic; see ``hmmdp_phase_s`` in csrc/hmmdp.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = ctypes.cast(ctypes.addressof(
+        ctypes.c_double.in_dll(lib, "hmmdp_phase_s")),
+        ctypes.POINTER(ctypes.c_double * 8)).contents
+    return np.array(arr, dtype=np.float64)
+
+
+def phase_reset() -> None:
+    lib = get_lib()
+    if lib is None:
+        return
+    arr = ctypes.cast(ctypes.addressof(
+        ctypes.c_double.in_dll(lib, "hmmdp_phase_s")),
+        ctypes.POINTER(ctypes.c_double * 8)).contents
+    for i in range(8):
+        arr[i] = 0.0

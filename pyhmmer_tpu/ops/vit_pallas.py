@@ -37,7 +37,7 @@ KP_PAD = 32
 
 
 def _vit_body(lens_ref, codes_ref, msc_ref, isc_ref, tr_ref, lm_ref,
-              out_ref, mrow, irow, drow, spec):
+              bnd_ref, out_ref, mrow, irow, drow, spec):
     """grid (P, nBt): one profile x one lane-tile of sequences."""
     L, Bt = codes_ref.shape
     Mp = msc_ref.shape[1]
@@ -121,15 +121,18 @@ def _vit_body(lens_ref, codes_ref, msc_ref, isc_ref, tr_ref, lm_ref,
         drow[...] = nd
         return 0
 
-    jax.lax.fori_loop(0, L, row, 0)
+    # dynamic per-tile bound: specials freeze via the length mask once
+    # i >= len, so stopping after the tile's longest sequence is exact
+    nL_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], L)
+    jax.lax.fori_loop(0, nL_b, row, 0)
     out_ref[...] = (spec[3:4, :] + move)[None]
 
 
 @partial(jax.jit, static_argnames=())
-def _vit_pallas(lens, codes_t, msc, isc, tr, lm):
+def _vit_pallas(lens, codes_t, msc, isc, tr, lm, bnd):
     """lens [1, B] i32; codes_t [L, B] i32; msc/isc [P, Mp, KP_PAD] f32
-    log scores; tr [P, Mp, 8] f32; lm [4, B] f32.
-    Returns Viterbi scores [P, B] f32 (nats)."""
+    log scores; tr [P, Mp, 8] f32; lm [4, B] f32; bnd [1, B/Bt] i32
+    per-lane-tile row bounds.  Returns Viterbi scores [P, B] f32 (nats)."""
     P, Mp, _ = msc.shape
     L, B = codes_t.shape
     Bt = min(B, 256)
@@ -150,6 +153,7 @@ def _vit_pallas(lens, codes_t, msc, isc, tr, lm):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, Bt), lambda p, b: (0, b),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
         ],
         out_specs=pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                                memory_space=pltpu.VMEM),
@@ -161,7 +165,7 @@ def _vit_pallas(lens, codes_t, msc, isc, tr, lm):
             pltpu.VMEM((8, Bt), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(lens, codes_t, msc, isc, tr, lm)
+    )(lens, codes_t, msc, isc, tr, lm, bnd)
     return out[:, 0, :]
 
 

@@ -41,15 +41,81 @@ RT3 = 0.20
 # traces
 # ---------------------------------------------------------------------------
 
-@dataclass
 class Trace:
     """A state path. ``states`` are chars (N,B,M,I,D,E,C,J); ``k`` model
     node (0 if none); ``i`` residue index 1..L (0 if silent); ``pp``
-    posterior probability of each emission (0 for silent states)."""
-    states: List[str] = field(default_factory=list)
-    k: List[int] = field(default_factory=list)
-    i: List[int] = field(default_factory=list)
-    pp: List[float] = field(default_factory=list)
+    posterior probability of each emission (0 for silent states).
+
+    Traces built by the native postprocessing arrive as numpy arrays
+    (``np_arrays``); the list views are materialized lazily because the
+    hot paths (alignment display, coordinate scans) consume the arrays
+    directly and most traces are never inspected element-wise."""
+
+    __slots__ = ("_states", "_k", "_i", "_pp", "np_arrays")
+
+    def __init__(self, states=None, k=None, i=None, pp=None,
+                 np_arrays=None):
+        self.np_arrays = np_arrays
+        lazy = np_arrays is not None and states is None
+        self._states = None if lazy else (states if states is not None
+                                          else [])
+        self._k = None if lazy else (k if k is not None else [])
+        self._i = None if lazy else (i if i is not None else [])
+        self._pp = None if lazy else (pp if pp is not None else [])
+
+    # --- lazy list views ----------------------------------------------------
+
+    @property
+    def states(self) -> List[str]:
+        if self._states is None:
+            self._states = [chr(c) for c in self.np_arrays[0]]
+        return self._states
+
+    @states.setter
+    def states(self, v):
+        self._states = v
+
+    @property
+    def k(self) -> List[int]:
+        if self._k is None:
+            self._k = self.np_arrays[1].tolist()
+        return self._k
+
+    @k.setter
+    def k(self, v):
+        self._k = v
+
+    @property
+    def i(self) -> List[int]:
+        if self._i is None:
+            self._i = self.np_arrays[2].tolist()
+        return self._i
+
+    @i.setter
+    def i(self, v):
+        self._i = v
+
+    @property
+    def pp(self) -> List[float]:
+        if self._pp is None:
+            self._pp = self.np_arrays[3].tolist()
+        return self._pp
+
+    @pp.setter
+    def pp(self, v):
+        self._pp = v
+
+    def __getstate__(self):
+        return (self.states, self.k, self.i, self.pp, None)
+
+    def __setstate__(self, st):
+        self._states, self._k, self._i, self._pp, self.np_arrays = st
+
+    def __eq__(self, other):
+        if not isinstance(other, Trace):
+            return NotImplemented
+        return (self.states == other.states and self.k == other.k
+                and self.i == other.i and self.pp == other.pp)
 
     def append(self, s: str, k: int = 0, i: int = 0, pp: float = 0.0):
         self.states.append(s)
@@ -71,12 +137,18 @@ class Trace:
     @property
     def M(self) -> int:
         """Model length spanned by the trace (max node index)."""
-        return max(self.k, default=0)
+        if self._k is None:
+            a = self.np_arrays[1]
+            return int(a.max()) if len(a) else 0
+        return max(self._k, default=0)
 
     @property
     def L(self) -> int:
         """Sequence length spanned by the trace (max residue index)."""
-        return max(self.i, default=0)
+        if self._i is None:
+            a = self.np_arrays[2]
+            return int(a.max()) if len(a) else 0
+        return max(self._i, default=0)
 
     @property
     def posterior_probabilities(self):

@@ -76,7 +76,7 @@ def test_msv_pallas_matches_fallback(setup):
     Bt = 128                                   # force 2 lane tiles
     R = _strip_r(t["cost"].shape[1], Bt)
     dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
-                          t["scal"], R, Bt)
+                          t["scal"], dev.tile_bounds(R, Bt), R, Bt)
     dx = np.asarray(dx)[:, : dev.B]
     ovf = np.asarray(ovf)[:, : dev.B]
 
@@ -107,10 +107,10 @@ def test_forward_pallas_matches_fallback(setup):
     t = FP.build_fwd_tensors2(pb)
     Bt = 128
     R = FP._strip_r_fwd(t["Mp"], Bt)
-    strips, lens, lm = E._gather_survivors_strips(
+    strips, lens, lm, bnd = E._gather_survivors_strips(
         dev.codes_t, dev.lens_d, jnp.asarray(ridx), R, Bt)
     out = np.asarray(FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
-                                     t["etr2"], t["sdd"], lm, R, Bt))
+                                     t["etr2"], t["sdd"], lm, bnd, R, Bt))
 
     from pyhmmer_tpu.ops.batch import _forward_kernel
     codes_g, mask, loop, move = E._gather_rows_dev(dev, jnp.asarray(ridx))
@@ -136,11 +136,11 @@ def test_viterbi_pallas_matches_fallback(setup):
     Bp = dev.Bpad
     ridx = np.full(Bp, -1, dtype=np.int32)
     ridx[: dev.B] = np.arange(dev.B)
-    codes_t, lens, lm = E._gather_survivors(
-        dev.codes_t, dev.lens_d, jnp.asarray(ridx))
+    codes_t, lens, lm, bnd = E._gather_survivors(
+        dev.codes_t, dev.lens_d, jnp.asarray(ridx), min(Bp, 256))
     t = VP.build_vit_tensors(pb)
     out = np.asarray(VP._vit_pallas(lens, codes_t, t["msc"], t["isc"],
-                                    t["tr"], lm))
+                                    t["tr"], lm, bnd))
 
     from pyhmmer_tpu.ops.batch import _viterbi_kernel
     codes_g, mask, loop, move = E._gather_rows_dev(dev, jnp.asarray(ridx))
