@@ -30,9 +30,21 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native",
-             # value-preserving: lets gcc vectorize libm calls (exp/log)
-             # through libmvec without changing results
+             # -fno-math-errno/-fno-trapping-math: value-preserving, lets
+             # gcc vectorize libm calls (exp/log) through libmvec.
+             # -fassociative-math + -ffinite-math-only: vectorizes the
+             # row sum/max REDUCTIONS in the DP parsers (2.3x on the
+             # domaindef hot path).  Safe here by construction: every
+             # float crossing the C ABI is clamped finite (ProfTensors /
+             # _clamp2 / the fwd_min clip), the kernels use the finite
+             # NEGMASS = -1e30 sentinel instead of infinities, and the
+             # odds-space rows are range-bounded by per-row rescaling.
+             # Reassociated f32 sums differ from serial order at the
+             # ~1e-6-relative level, far inside reported-score tolerance
+             # (reported scores accumulate in float64).
              "-fno-math-errno", "-fno-trapping-math",
+             "-fassociative-math", "-fno-signed-zeros",
+             "-ffinite-math-only",
              "-fPIC", "-shared", "-o", _LIB, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
@@ -471,6 +483,9 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     tr_off = bufs["tr_off"]
     max_dom, max_tr = bufs["max_dom"], bufs["max_tr"]
     dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    # the library is compiled -ffinite-math-only (reductions/max chains
+    # vectorize); every float crossing the ABI must be finite
+    fwd_min = float(np.clip(fwd_min, -1e300, 1e300))
     ndom = lib.hmmdp_domaindef(
         dsq8, L,
         pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
