@@ -50,10 +50,17 @@ def guess_alphabet_text(seq: str) -> Optional[Alphabet]:
 
 def _parse_fasta(text: str) -> Iterator[TextSequence]:
     """Parse FASTA records from a string."""
+    return _parse_fasta_lines(text.splitlines())
+
+
+def _parse_fasta_lines(lines) -> Iterator[TextSequence]:
+    """Parse FASTA records from an iterable of lines (streamed: only one
+    record is materialized at a time)."""
     name = None
     desc = ""
     chunks: List[str] = []
-    for line in text.splitlines():
+    for line in lines:
+        line = line.rstrip("\n")
         if line.startswith(">"):
             if name is not None:
                 yield TextSequence(
@@ -76,8 +83,11 @@ def _parse_fasta(text: str) -> Iterator[TextSequence]:
         )
 
 
-def _parse_embl_like(text: str, fmt: str) -> Iterator[TextSequence]:
-    """Minimal EMBL / GenBank / UniProt flat-file sequence extraction."""
+def _parse_embl_like(lines, fmt: str) -> Iterator[TextSequence]:
+    """Minimal EMBL / GenBank / UniProt flat-file sequence extraction
+    from an iterable of lines (streamed)."""
+    if isinstance(lines, str):
+        lines = lines.splitlines()
     name = b""
     desc = b""
     acc = b""
@@ -91,7 +101,8 @@ def _parse_embl_like(text: str, fmt: str) -> Iterator[TextSequence]:
                                sequence="".join(chunks))
         name, desc, acc, chunks, in_seq = b"", b"", b"", [], False
 
-    for line in text.splitlines():
+    for line in lines:
+        line = line.rstrip("\n")
         if fmt in ("embl", "uniprot"):
             if line.startswith("ID"):
                 parts = line[2:].strip().split(";")[0].split()
@@ -147,22 +158,24 @@ class SequenceFile:
         alphabet: Optional[Alphabet] = None,
     ):
         self._close = False
+        # streamed by design: a path input is NEVER slurped -- records
+        # (and genome windows) are parsed from a line iterator, so peak
+        # RSS is bounded by the largest single record read (or the
+        # window size for read_window), not the database size
+        # (reference workers likewise re-open/stream target files,
+        # hmmer/_hmmsearch.py:81-90)
+        self._path: Optional[str] = None
         if isinstance(file, (str, os.PathLike)):
             path = os.fspath(file)
             if not os.path.exists(path):
                 raise FileNotFoundError(path)
-            if path.endswith(".gz"):
-                with gzip.open(path, "rt") as fh:
-                    self._text = fh.read()
-            else:
-                with open(path, "r") as fh:
-                    self._text = fh.read()
+            self._path = path
             self.name: Optional[str] = path
         else:
             data = file.read()
             if isinstance(data, bytes):
                 data = data.decode("ascii", errors="replace")
-            self._text = data
+            self._textbuf = data
             self.name = getattr(file, "name", None)
 
         self.format = format.lower() if format else self._guess_format()
@@ -175,24 +188,44 @@ class SequenceFile:
             if self.alphabet is None:
                 raise ValueError("could not guess alphabet for digital mode")
 
+    # --- streamed line access -----------------------------------------------
+
+    def _open_lines(self):
+        """A fresh line iterator over the underlying data (never slurps
+        path inputs)."""
+        if self._path is not None:
+            if self._path.endswith(".gz"):
+                return gzip.open(self._path, "rt")
+            return open(self._path, "r")
+        return io.StringIO(self._textbuf)
+
+    def _full_text(self) -> str:
+        """Full contents -- only used for the MSA-format delegation,
+        whose parsers are whole-document by nature."""
+        if self._path is not None:
+            with self._open_lines() as fh:
+                return fh.read()
+        return self._textbuf
+
     # --- format/alphabet guessing -----------------------------------------
 
     def _guess_format(self) -> str:
-        for line in self._text.splitlines():
-            s = line.strip()
-            if not s:
-                continue
-            if s.startswith(">"):
-                return "fasta"
-            if s.startswith("# STOCKHOLM"):
-                return "stockholm"
-            if s.startswith("CLUSTAL"):
-                return "clustal"
-            if s.startswith("ID "):
-                return "embl"
-            if s.startswith("LOCUS"):
-                return "genbank"
-            break
+        with self._open_lines() as fh:
+            for line in fh:
+                s = line.strip()
+                if not s:
+                    continue
+                if s.startswith(">"):
+                    return "fasta"
+                if s.startswith("# STOCKHOLM"):
+                    return "stockholm"
+                if s.startswith("CLUSTAL"):
+                    return "clustal"
+                if s.startswith("ID "):
+                    return "embl"
+                if s.startswith("LOCUS"):
+                    return "genbank"
+                break
         raise ValueError("could not determine sequence file format")
 
     def guess_alphabet(self) -> Optional[Alphabet]:
@@ -204,12 +237,21 @@ class SequenceFile:
 
     def _records(self) -> Iterator[TextSequence]:
         if self.format == "fasta":
-            yield from _parse_fasta(self._text)
+            fh = self._open_lines()
+            try:
+                yield from _parse_fasta_lines(fh)
+            finally:
+                fh.close()
         elif self.format in ("embl", "genbank", "ddbj", "uniprot"):
-            yield from _parse_embl_like(self._text, self.format)
+            fh = self._open_lines()
+            try:
+                yield from _parse_embl_like(fh, self.format)
+            finally:
+                fh.close()
         elif self.format in _MSA_FORMATS:
             from .msafile import MSAFile
-            with MSAFile(io.StringIO(self._text), format=self.format) as mf:
+            with MSAFile(io.StringIO(self._full_text()),
+                         format=self.format) as mf:
                 for msa in mf:
                     for seq in msa.sequences_as_unaligned():
                         yield seq
@@ -265,6 +307,70 @@ class SequenceFile:
 
     def rewind(self) -> None:
         self._iter = None
+
+    # --- streamed / windowed access ------------------------------------------
+
+    def records_chunked(self, chunk_residues: int = 1 << 20):
+        """Yield ``(header, chunk_iter)`` per record, where ``header`` is a
+        residue-less :class:`TextSequence` (name/description only) and
+        ``chunk_iter`` yields successive residue strings of up to
+        ``chunk_residues`` characters.  FASTA records stream straight off
+        the file, so peak memory is one chunk -- the primitive behind
+        genome-window reads (``esl_sqio_ReadWindow`` role).  Other formats
+        fall back to one whole-record chunk.
+
+        The chunk iterator of a record MUST be exhausted before advancing
+        to the next record."""
+        if self.format != "fasta":
+            for seq in self._records():
+                yield (TextSequence(name=seq.name,
+                                    description=seq.description,
+                                    accession=seq.accession, sequence=""),
+                       iter([seq.sequence]))
+            return
+        fh = self._open_lines()
+        try:
+            pushback: List[str] = []
+
+            def chunks():
+                buf: List[str] = []
+                n = 0
+                for line in fh:
+                    if line.startswith(">"):
+                        pushback.append(line)
+                        break
+                    piece = "".join(line.split())
+                    if piece:
+                        buf.append(piece)
+                        n += len(piece)
+                    if n >= chunk_residues:
+                        yield "".join(buf)
+                        buf, n = [], 0
+                if buf:
+                    yield "".join(buf)
+
+            header_line = None
+            for line in fh:
+                if line.startswith(">"):
+                    header_line = line
+                    break
+            while header_line is not None:
+                header = header_line[1:].strip()
+                if " " in header:
+                    name, desc = header.split(" ", 1)
+                    desc = desc.strip()
+                else:
+                    name, desc = header, ""
+                it = chunks()
+                yield (TextSequence(name=name.encode(),
+                                    description=desc.encode(),
+                                    sequence=""), it)
+                # drain any unread residue chunks of this record
+                for _ in it:
+                    pass
+                header_line = pushback.pop() if pushback else None
+        finally:
+            fh.close()
 
     def __iter__(self):
         return self

@@ -52,6 +52,11 @@ DEFAULT_P_MAX = int(os.environ.get("PYHMMER_TPU_P_MAX", "64"))
 #: target area (B * Lmax) per sequence bucket
 DEFAULT_BUCKET_AREA = 1 << 18
 
+#: speculative host-routing threshold: bias survivors with quantized-MSV
+#: P-value at or below this skip the device Forward prefilter and go
+#: straight to the host domaindef pool (see the routing loop)
+SPECULATE_P1B = float(os.environ.get("PYHMMER_TPU_SPEC_P1B", "1e-6"))
+
 
 class _Buckets:
     """Length-bucketed packing of a target block.
@@ -403,14 +408,17 @@ class SearchEngine:
             self._buckets_cache = (bkey, targets, buckets)
         results: List[Optional[TopHits]] = [None] * len(queries)
 
-        # group queries by padded model length so they share kernel shapes
-        # (128-steps = the TPU lane width; finer padding halves wasted
-        # VPU/MXU work on short models vs a coarser ladder)
+        # group queries by padded model length so they share kernel shapes.
+        # 32-granular padding: the scan kernels are VPU-throughput-bound in
+        # Mp x lanes elements, so dead sublane rows are paid work -- finer
+        # groups trade a few extra kernel shapes for ~25% fewer elements on
+        # typical Pfam length mixes (sublane tiles are 8, so any multiple
+        # of 8 is layout-clean)
         groups: dict = {}
         for qi, hmm in enumerate(queries):
             if hmm.alphabet != self.alphabet:
                 raise ValueError("alphabet mismatch between query and engine")
-            Mp = B.round_up(hmm.M, 128)
+            Mp = B.round_up(hmm.M, 32)
             groups.setdefault(Mp, []).append(qi)
 
         states: List[_ChunkState] = []
@@ -445,7 +453,11 @@ class SearchEngine:
         def _mark(name):
             _tmark[name] = _time.time() - _t0
         native_ok = _native.available()
-        nthreads = max(2, (os.cpu_count() or 2))
+        # worker count == core count: the native calls release the GIL
+        # and keep the cores saturated; oversubscribing measurably slows
+        # the postprocessing phases (context switching on 2-core hosts)
+        nthreads = int(os.environ.get("PYHMMER_TPU_THREADS", "0")) or \
+            max(2, os.cpu_count() or 2)
         executor = _cf.ThreadPoolExecutor(nthreads) if native_ok else None
         pending = []   # (job tuple, future | None)
 
@@ -642,6 +654,32 @@ class SearchEngine:
                             np.ones(len(cols), dtype=bool),
                             cols, idx, vit_min_row)
                 continue
+            # speculative host routing of near-certain hits: a pair whose
+            # quantized-MSV P-value is far below the skip-Viterbi gate
+            # will almost surely reach domaindef, so its job starts on
+            # the host pool NOW instead of waiting for the device Forward
+            # fetch.  Outcome-identical to the device path: the pair
+            # skips Viterbi legitimately (P1b <= F2 * F2_SKIP_SLACK) and
+            # the device Forward is only a prefilter -- the exact-f64
+            # Forward inside the job applies the reference F3 gate either
+            # way.  Mis-speculations cost one fwd_min-bailed parser pass.
+            if native_ok:
+                spec = pass2 & (P1b <= np.minimum(
+                    st.F2 * F2_SKIP_SLACK, SPECULATE_P1B))
+                if spec.any():
+                    c = ctx[(ci, bi)]
+                    for pi, pli in enumerate(st.pipelines):
+                        cols = np.where(spec[pi])[0]
+                        if len(cols) == 0:
+                            continue
+                        pli.n_past_vit += len(cols)
+                        _submit(ci, bi, pi,
+                                np.ones(len(cols), dtype=bool), cols, idx)
+                    pass2 = pass2 & ~spec
+                    c["pass2"] = pass2
+                    if not pass2.any():
+                        continue
+                    c["bsel"] = np.where(pass2.any(axis=0))[0]
             # enqueue this job's Forward kernel immediately: device work
             # starts while later bias batches are still being gated
             c = ctx[(ci, bi)]

@@ -60,17 +60,27 @@ def _query_list(queries):
 
 
 def hmmsearch(queries, sequences, *, cpus: int = 0, callback=None,
-              backend: str = "tpu", **options) -> Iterator[TopHits]:
+              backend: str = "tpu", block_residues: Optional[int] = None,
+              **options) -> Iterator[TopHits]:
     """Search HMM profile(s) against a sequence database
     (``pyhmmer.hmmsearch``, reference ``hmmer/_hmmsearch.py:294-436``).
 
     Yields one :class:`TopHits` per query, in query order.
+
+    When ``sequences`` is a digital :class:`SequenceFile`, the database
+    is consumed in bounded blocks (``block_residues`` residues each,
+    default 16M) and per-block results are merged -- peak memory is
+    independent of database size, like the reference's streamed worker
+    loop (``hmmer/_hmmsearch.py:81-90``).
     """
     queries = _query_list(queries)
     if not queries:
         return iter(())
-    block = _target_block(sequences)
     alphabet = queries[0].alphabet
+    if isinstance(sequences, SequenceFile) and backend != "oracle":
+        return _hmmsearch_streamed(queries, sequences, alphabet, callback,
+                                   block_residues or (1 << 24), options)
+    block = _target_block(sequences)
     if backend == "oracle":
         def gen():
             for q in queries:
@@ -84,6 +94,39 @@ def hmmsearch(queries, sequences, *, cpus: int = 0, callback=None,
     eng = SearchEngine(alphabet, **options)
     results = eng.search(queries, block, callback=callback)
     return iter(results)
+
+
+def _hmmsearch_streamed(queries, seqfile: SequenceFile, alphabet,
+                        callback, block_residues: int, options):
+    """Blockwise hmmsearch over a streamed target file: one engine (the
+    configured-model cache persists across blocks), one merge per query
+    at the end (``TopHits.merge`` sums auto-Z accounting)."""
+    if not seqfile.digital:
+        raise ValueError("expected digital mode SequenceFile")
+    from ..engine import SearchEngine
+    eng = SearchEngine(alphabet, **options)
+    partials = None
+    while True:
+        block = seqfile.read_block(residues=block_residues)
+        if len(block) == 0:
+            break
+        results = eng.search(queries, block)
+        if partials is None:
+            partials = [[th] for th in results]
+        else:
+            for acc, th in zip(partials, results):
+                acc.append(th)
+    if partials is None:
+        # empty database: one well-formed empty TopHits per query
+        empty = eng.search(queries, DigitalSequenceBlock(alphabet))
+        partials = [[th] for th in empty]
+    merged = []
+    for q, parts in zip(queries, partials):
+        th = parts[0].merge(*parts[1:]) if len(parts) > 1 else parts[0]
+        merged.append(th)
+        if callback is not None:
+            callback(q, len(queries))
+    return iter(merged)
 
 
 def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
@@ -368,7 +411,13 @@ def nhmmer(queries, sequences, *, cpus: int = 0, callback=None,
     if not queries:
         return iter(())
     alphabet = getattr(queries[0], "alphabet", None)
-    block = _target_block(sequences)
+    # a digital SequenceFile streams genome windows off disk inside the
+    # long-targets pipeline (peak RSS ~ one window per record); anything
+    # else is materialized as a block
+    if isinstance(sequences, SequenceFile) and sequences.digital:
+        block = sequences
+    else:
+        block = _target_block(sequences)
     window_length = options.get("window_length")
     window_beta = options.get("window_beta")
 

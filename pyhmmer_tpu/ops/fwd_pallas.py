@@ -352,21 +352,37 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
             nn = n_ * loop_o
             nb = (nn + nj) * move_o
 
-            mx = jnp.maximum(jnp.max(nm, axis=0, keepdims=True),
-                             jnp.maximum(nj, nc))
-            mx = jnp.maximum(mx, TINY)
             i = s * R + r
             valid = (lens_ref[0:1, :] > i)
-            inv = jnp.where(valid, 1.0 / mx, 1.0)
-            nscale = jnp.where(valid, logscale + jnp.log(mx), logscale)
-
-            spec[0:1, :] = jnp.where(valid, nj * inv, j_)
-            spec[1:2, :] = jnp.where(valid, nc * inv, c_)
-            spec[2:3, :] = jnp.where(valid, nb * inv, b_)
-            spec[3:4, :] = nscale
-            spec[4:5, :] = jnp.where(valid, nn * inv, n_)
-            mrow[...] = nm * inv
-            irow[...] = ni * inv
+            if r % 2 == 1 or r == R - 1:
+                # rescale on every 2nd row: one row's growth is bounded
+                # by ~4x the max emission odds, far inside f32 range, so
+                # normalizing to the row max every other row keeps the
+                # representation safe while saving the max-reduce, log,
+                # and three [Mp, Bt] scale multiplies on the skipped
+                # rows.  The log-space bookkeeping stays exact.
+                mx = jnp.maximum(jnp.max(nm, axis=0, keepdims=True),
+                                 jnp.maximum(nj, nc))
+                mx = jnp.maximum(mx, TINY)
+                inv = jnp.where(valid, 1.0 / mx, 1.0)
+                nscale = jnp.where(valid, logscale + jnp.log(mx),
+                                   logscale)
+                spec[0:1, :] = jnp.where(valid, nj * inv, j_)
+                spec[1:2, :] = jnp.where(valid, nc * inv, c_)
+                spec[2:3, :] = jnp.where(valid, nb * inv, b_)
+                spec[3:4, :] = nscale
+                spec[4:5, :] = jnp.where(valid, nn * inv, n_)
+                mrow[...] = nm * inv
+                irow[...] = ni * inv
+            else:
+                spec[0:1, :] = jnp.where(valid, nj, j_)
+                spec[1:2, :] = jnp.where(valid, nc, c_)
+                spec[2:3, :] = jnp.where(valid, nb, b_)
+                spec[4:5, :] = jnp.where(valid, nn, n_)
+                # dead lanes have ms = 0 (nonresidue emission odds), so
+                # nm/ni are already zero there -- no mask needed
+                mrow[...] = nm
+                irow[...] = ni
         return 0
 
     # dynamic per-tile bound: every special freezes via the length mask

@@ -169,29 +169,40 @@ class LongTargetsPipeline(Pipeline):
             raise ValueError("block_length must be greater than max_length")
 
         self.nseqs = 0
-        for t, sq in enumerate(sequences):
-            if sq.alphabet != self.alphabet:
-                raise ValueError("alphabet mismatch in target sequences")
-            n = len(sq)
-            i = 0
-            while i < n:
-                Cw = 0 if i == 0 else min(C, n - i)
-                Ww = min(W, n - i - Cw)
-                wn = Cw + Ww
-                win = sq.sequence[i: i + wn]
+        from ..easel.seqfile import SequenceFile as _SeqFile
+        if isinstance(sequences, _SeqFile):
+            # file-streamed genome windows (esl_sqio_ReadWindow role,
+            # plan7.pyx:7494-7539): windows are read off disk one at a
+            # time, so peak memory is ~W + C residues per record
+            # regardless of chromosome size.  Hit target lengths are
+            # patched once the record's true length is known.
+            records = self._streamed_records(sequences, W, C)
+        else:
+            records = self._inmemory_records(sequences, W, C)
+        for t, (sq, win_iter, final_len) in enumerate(records):
+            nh0 = len(hits.hits)
+            for i, win, n_prov in win_iter:
+                wn = len(win)
+                Cw = 0 if i == 0 else min(C, wn)
+                Ww = wn - Cw
                 self.nres += wn
                 if self.strand != "crick":
                     self.nres -= Cw
-                    self._process_window(prof, prof_uni, win, i + 1, n,
+                    self._process_window(prof, prof_uni, win, i + 1, n_prov,
                                          "+", t, sq, max_length, hits)
                 else:
                     self.nres -= wn
                 if self.strand != "watson":
                     rc = self.alphabet.complement_map[win][::-1]
-                    self._process_window(prof, prof_uni, rc, i + wn, n,
+                    self._process_window(prof, prof_uni, rc, i + wn, n_prov,
                                          "-", t, sq, max_length, hits)
                     self.nres += Ww
-                i += W - C
+            n = final_len()
+            for h in hits.hits[nh0:]:
+                h.length = n
+                for d in h.domains:
+                    if d.alignment is not None:
+                        d.alignment.target_length = n
             self.nseqs += 1
 
         # E-values over total residues (p7_tophits_ComputeNhmmerEvalues)
@@ -218,6 +229,69 @@ class LongTargetsPipeline(Pipeline):
         hits.sort_by_key()
         hits.threshold()
         return hits
+
+    def _inmemory_records(self, sequences, W: int, C: int):
+        """Window iteration over in-memory digital sequences: yields
+        ``(sq, window_iter, final_len)`` with windows
+        ``(i, codes, provisional_len)`` -- the in-RAM analog of the
+        streamed reader, identical window boundaries."""
+        for sq in sequences:
+            if sq.alphabet != self.alphabet:
+                raise ValueError("alphabet mismatch in target sequences")
+            n = len(sq)
+
+            def win_iter(sq=sq, n=n):
+                i = 0
+                while i < n:
+                    rem = n - i
+                    Cw = 0 if i == 0 else min(C, rem)
+                    Ww = min(W, rem - Cw)
+                    yield i, sq.sequence[i: i + Cw + Ww], n
+                    i += W - C
+
+            yield sq, win_iter(), (lambda n=n: n)
+
+    def _streamed_records(self, seqfile, W: int, C: int):
+        """File-streamed genome windows: reads each record's residues in
+        bounded chunks (``SequenceFile.records_chunked``) and yields the
+        same window boundaries as :meth:`_inmemory_records` without ever
+        materializing a full chromosome.  The provisional length passed
+        with each window is the residue count seen so far; the caller
+        patches hit/alignment lengths via ``final_len()`` once the record
+        is exhausted."""
+        import numpy as _np
+        if seqfile.digital and seqfile.alphabet != self.alphabet:
+            raise ValueError("alphabet mismatch in target sequence file")
+        for header, chunks in seqfile.records_chunked():
+            state = {"n": 0}
+
+            def win_iter(chunks=chunks, state=state):
+                buf = _np.empty(0, dtype=_np.uint8)
+                i = 0
+                ended = False
+                while True:
+                    while not ended and len(buf) < W + C:
+                        nxt = next(chunks, None)
+                        if nxt is None:
+                            ended = True
+                            break
+                        arr = self.alphabet.encode(nxt)
+                        buf = (arr if len(buf) == 0
+                               else _np.concatenate([buf, arr]))
+                    rem = len(buf)
+                    state["n"] = i + rem
+                    if rem <= 0:
+                        break
+                    Cw = 0 if i == 0 else min(C, rem)
+                    Ww = min(W, rem - Cw)
+                    yield i, buf[: Cw + Ww], i + rem
+                    step = W - C
+                    if ended and rem <= step:
+                        break
+                    i += step
+                    buf = buf[step:]
+
+            yield header, win_iter(), (lambda state=state: state["n"])
 
     def search_seq(self, query: DigitalSequence,
                    sequences: Iterable[DigitalSequence],
