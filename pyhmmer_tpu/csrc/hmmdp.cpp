@@ -420,26 +420,33 @@ double fwd_impl(
             }
         }
         if (raw_mx || keep == 3) {
-            // odds mode: rescale every row by the row max so stored raw
-            // values stay in [0, 1] (bounds the posterior row factors),
-            // then store raw odds + the row's log scale.  keep==3 keeps
+            // odds mode: rescale by the row max so stored raw values
+            // stay bounded, then store raw odds + the row's log scale.
+            // The rescale runs every SECOND row (and the last): one
+            // row's growth is bounded by ~4x the max emission odds, far
+            // inside f32 range, and the per-row ``rowscale`` bookkeeping
+            // stays exact either way -- this halves the max-pass +
+            // 3-array scale + log() cost of the parsers.  keep==3 keeps
             // only the linear specials (domaindef region finding).
-            T mxr = row_tiny<T>::v;
-            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
-            double mx = std::max((double)mxr, std::max(j_, c_));
-            double inv = 1.0 / mx;
+            double inv = 1.0;
+            if ((i & 1) == 0 || i == L) {
+                T mxr = row_tiny<T>::v;
+                for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+                double mx = std::max((double)mxr, std::max(j_, c_));
+                inv = 1.0 / mx;
+                if (!raw_mx) {
+                    const T invT = (T)inv;
+                    for (int k = 0; k < W; k++) {
+                        mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
+                    }
+                }
+                logscale += std::log(mx);
+            }
             if (raw_mx)
                 scale_store_row<T>(W, (T)inv, mrow, irow, drow,
                                    Mm + (size_t)i * W, Im + (size_t)i * W,
                                    Dm + (size_t)i * W);
-            else {
-                const T invT = (T)inv;
-                for (int k = 0; k < W; k++) {
-                    mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
-                }
-            }
             b_ *= inv; j_ *= inv; c_ *= inv;
-            logscale += std::log(mx);
             rowscale[i] = logscale;
             if (lin_spec) {
                 double ns = n_scaled * inv;
@@ -560,10 +567,15 @@ double bck_impl(
             }
         }
         if (raw_mx || keep == 3) {
-            T mxr = row_tiny<T>::v;
-            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
-            double mx = (double)mxr;
-            double inv = 1.0 / mx;
+            // every-2nd-row rescale, same argument as the forward parser
+            double inv = 1.0;
+            if ((i & 1) == 0 || i == 0) {
+                T mxr = row_tiny<T>::v;
+                for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+                double mx = (double)mxr;
+                inv = 1.0 / mx;
+                logscale += std::log(mx);
+            }
             const T invT = (T)inv;
             if (raw_mx) {
                 T* __restrict__ Mo = Mm + (size_t)i * W;
@@ -575,13 +587,12 @@ double bck_impl(
                     mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                     Mo[k] = mrow[k]; Io[k] = irow[k]; Do[k] = drow[k];
                 }
-            } else {
+            } else if (inv != 1.0) {
                 for (int k = 0; k < W; k++) {
                     mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
                 }
             }
             n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
-            logscale += std::log(mx);
             rowscale[i] = logscale;
             if (lin_spec) {
                 xBv[i] = b_;
@@ -610,6 +621,124 @@ double bck_impl(
     return score;
 }
 
+// Fused Backward + posterior decode for the envelope rescore (keep=4
+// semantics).  Instead of storing the three backward matrices and
+// multiplying them against the forward matrices in a separate pass, the
+// posterior rows are emitted inside the backward scan -- ~1/3 of the
+// envelope path's memory traffic.  Outputs match the unfused
+// bck_impl(keep=4) + decode exactly (same operations, same order).
+template <typename T>
+static void bck_decode_impl(
+    const ExpProf& P, const uint8_t* dsq, int32_t L,
+    int32_t M, int32_t Kp,
+    const T* __restrict__ fM, const T* __restrict__ fI,  // fwd raw odds
+    const double* fxN, const double* fxJ, const double* fxC,  // fwd lin
+    const double* fsc_row,                               // fwd row scales
+    double envsc,
+    T* __restrict__ ppM, T* __restrict__ ppI,            // [L+1, W] out
+    T* ppN, T* ppJ, T* ppC) {                            // [L+1] out
+    const int W = M + 1;
+    const Tables<T>& tb = P.core->template tables<T>();
+    Arena::Mark amark = g_arena.mark();
+    T* __restrict__ mrow = g_arena.zalloc<T>(W);
+    T* __restrict__ irow = g_arena.zalloc<T>(W);
+    T* __restrict__ drow = g_arena.zalloc<T>(W);
+    T* __restrict__ nm = g_arena.zalloc<T>(W);
+    T* __restrict__ ni = g_arena.zalloc<T>(W);
+    T* __restrict__ nd = g_arena.zalloc<T>(W);
+
+    const double eLoop = P.eN[0];   // == eJ[0] == eC[0] (unihit config)
+    double logscale = 0.0;
+    double c_ = P.eC[1];
+    double e_ = c_ * P.eE[1];
+    double n_ = 0.0, b_ = 0.0, j_ = 0.0;
+    drow[0] = (T)0.0;
+    if (M >= 1) drow[M] = (T)e_;
+    for (int k = M - 1; k >= 1; k--)
+        drow[k] = (T)e_ + drow[k + 1] * tb.eDD[k];
+    mrow[0] = (T)0.0;
+    for (int k = 1; k <= M; k++) mrow[k] = (T)e_;
+    for (int k = 1; k < M; k++)
+        mrow[k] += drow[k + 1] * tb.eMD[k];
+
+    // row L emissions (irow == 0 there; bck N/J specials are 0 at L)
+    ppM[0] = ppI[0] = (T)0.0;
+    for (int k = 0; k < W; k++) { ppM[k] = (T)0.0; ppI[k] = (T)0.0; }
+    {
+        double arg = fsc_row[L] - envsc;
+        T rfac = (T)std::exp(std::min(arg, 80.0));
+        T* __restrict__ pMo = ppM + (size_t)L * W;
+        T* __restrict__ pIo = ppI + (size_t)L * W;
+        const T* __restrict__ fMo = fM + (size_t)L * W;
+        pMo[0] = pIo[0] = (T)0.0;
+#pragma GCC ivdep
+        for (int k = 1; k < W; k++) {
+            pMo[k] = fMo[k] * mrow[k] * rfac;
+            pIo[k] = (T)0.0;
+        }
+        ppN[0] = ppJ[0] = ppC[0] = (T)0.0;
+        if (L >= 1) {
+            double ef = std::exp(std::min(fsc_row[L - 1] - envsc, 80.0));
+            ppN[L] = (T)0.0;
+            ppJ[L] = (T)0.0;
+            ppC[L] = (T)(fxC[L - 1] * eLoop * c_ * ef);
+        }
+    }
+
+    for (int i = L - 1; i >= 0; i--) {
+        const T* ms = tb.ems + (size_t)dsq[i] * W;
+        const T* is = tb.eis + (size_t)dsq[i] * W;
+        double b = bck_b_core<T>(M, ms, tb.eBM, mrow);
+        b_ = b;
+        j_ = j_ * P.eJ[0] + b * P.eJ[1];
+        c_ = c_ * P.eC[0];
+        n_ = n_ * P.eN[0] + b * P.eN[1];
+        e_ = j_ * P.eE[0] + c_ * P.eE[1];
+        bck_row_core<T>(M, ms, is, tb.eMM, tb.eIM, tb.eDM,
+                        tb.eMI, tb.eII, tb.eMD, tb.eDD,
+                        tb.eDD2r, tb.eDD4r,
+                        mrow, irow, (T)e_, nm, ni, nd);
+        std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
+        double inv = 1.0;
+        if ((i & 1) == 0 || i == 0) {
+            T mxr = row_tiny<T>::v;
+            for (int k = 1; k < W; k++) mxr = std::max(mxr, mrow[k]);
+            double mx = (double)mxr;
+            inv = 1.0 / mx;
+            logscale += std::log(mx);
+        }
+        const T invT = (T)inv;
+        if (inv != 1.0) {
+            for (int k = 0; k < W; k++) {
+                mrow[k] *= invT; irow[k] *= invT; drow[k] *= invT;
+            }
+        }
+        n_ *= inv; b_ *= inv; j_ *= inv; c_ *= inv; e_ *= inv;
+        if (i >= 1) {
+            double arg = fsc_row[i] + logscale - envsc;
+            T rfac = (T)std::exp(std::min(arg, 80.0));
+            T* __restrict__ pMo = ppM + (size_t)i * W;
+            T* __restrict__ pIo = ppI + (size_t)i * W;
+            const T* __restrict__ fMo = fM + (size_t)i * W;
+            const T* __restrict__ fIo = fI + (size_t)i * W;
+            const T* __restrict__ mr = mrow;
+            const T* __restrict__ ir = irow;
+            pMo[0] = pIo[0] = (T)0.0;
+#pragma GCC ivdep
+            for (int k = 1; k < W; k++) {
+                pMo[k] = fMo[k] * mr[k] * rfac;
+                pIo[k] = fIo[k] * ir[k] * rfac;
+            }
+            double ef = std::exp(std::min(
+                fsc_row[i - 1] + logscale - envsc, 80.0));
+            ppN[i] = (T)(fxN[i - 1] * eLoop * n_ * ef);
+            ppJ[i] = (T)(fxJ[i - 1] * eLoop * j_ * ef);
+            ppC[i] = (T)(fxC[i - 1] * eLoop * c_ * ef);
+        }
+    }
+    g_arena.release(amark);
+}
+
 template <typename T>
 static double optacc_impl(
     const T* ppM, const T* ppI,             // [L+1, M+1]
@@ -626,6 +755,20 @@ static double optacc_impl(
     for (int k = 0; k < W; k++) Mx[k] = Ix[k] = Dx[k] = NEG;
     xN[0] = (T)0.0; xB[0] = (T)0.0;
     xE[0] = xJ[0] = xC[0] = NEG;
+    // DD-chain doubling constants (max-plus is associative, so the
+    // first-order chain dc[k] = max(a[k], dc[k-1]+d[k]) unrolls into two
+    // vector passes + one serial pass of dependency distance 4, same
+    // scheme as the forward parser's sum chain): d[k] = gDD[k-1]
+    Arena::Mark oamark = g_arena.mark();
+    T* __restrict__ d1 = g_arena.alloc<T>(W);
+    T* __restrict__ d2 = g_arena.alloc<T>(W);
+    T* __restrict__ d4 = g_arena.alloc<T>(W);
+    for (int k = 0; k < W; k++) d1[k] = NEG;
+    for (int k = 3; k <= M; k++) d1[k] = gDD[k - 1];
+    for (int k = 0; k < W; k++) d2[k] = NEG;
+    for (int k = 4; k <= M; k++) d2[k] = d1[k] + d1[k - 1];
+    for (int k = 0; k < W; k++) d4[k] = NEG;
+    for (int k = 6; k <= M; k++) d4[k] = d2[k] + d2[k - 2];
     for (int i = 1; i <= L; i++) {
         T* mc = Mx + (size_t)i * W;
         T* ic = Ix + (size_t)i * W;
@@ -650,8 +793,19 @@ static double optacc_impl(
             ic[k] = pi[k] + std::max(mp[k] + gMI[k], ip[k] + gII[k]);
         for (int k = std::max(M, 1); k < W; k++) ic[k] = NEG;
         if (M >= 1) dc[1] = NEG;
-        for (int k = 2; k <= M; k++)
-            dc[k] = std::max(mc[k - 1] + gMD[k - 1], dc[k - 1] + gDD[k - 1]);
+        if (M <= 8) {
+            for (int k = 2; k <= M; k++)
+                dc[k] = std::max(mc[k - 1] + gMD[k - 1],
+                                 dc[k - 1] + gDD[k - 1]);
+        } else {
+            for (int k = 2; k <= M; k++) dc[k] = mc[k - 1] + gMD[k - 1];
+            for (int k = M; k >= 3; k--)
+                dc[k] = std::max(dc[k], dc[k - 1] + d1[k]);
+            for (int k = M; k >= 4; k--)
+                dc[k] = std::max(dc[k], dc[k - 2] + d2[k]);
+            for (int k = 6; k <= M; k++)
+                dc[k] = std::max(dc[k], dc[k - 4] + d4[k]);
+        }
         T e = NEG;
         for (int k = 1; k <= M; k++) e = std::max(e, mc[k]);
         if (M >= 1) e = std::max(e, dc[M]);
@@ -661,6 +815,7 @@ static double optacc_impl(
         xN[i] = xN[i - 1] + ppN[i];
         xB[i] = std::max(xN[i], xJ[i]);
     }
+    g_arena.release(oamark);
     return (double)xC[L];
 }
 
@@ -1324,70 +1479,29 @@ int32_t hmmdp_domaindef(
         float* fM = g_arena.alloc<float>(rows);
         float* fI = g_arena.alloc<float>(rows);
         float* fD = g_arena.alloc<float>(rows);
-        float* bM = g_arena.alloc<float>(rows);
-        float* bI = g_arena.alloc<float>(rows);
-        float* bD = g_arena.alloc<float>(rows);
         double* wfxN = g_arena.alloc(Ld + 1);
         double* wfxB = g_arena.alloc(Ld + 1);
         double* wfxE = g_arena.alloc(Ld + 1);
         double* wfxC = g_arena.alloc(Ld + 1);
         double* wfxJ = g_arena.alloc(Ld + 1);
-        double* wbxN = g_arena.alloc(Ld + 1);
-        double* wbxB = g_arena.alloc(Ld + 1);
-        double* wbxE = g_arena.alloc(Ld + 1);
-        double* wbxC = g_arena.alloc(Ld + 1);
-        double* wbxJ = g_arena.alloc(Ld + 1);
         double* fsc_row = g_arena.alloc(Ld + 1);
-        double* bsc_row = g_arena.alloc(Ld + 1);
         // keep=4: raw odds matrices + LINEAR specials (no per-row logs)
         double tt = now_s();
         double envsc = fwd_impl<float>(Pu, win, Ld, su.xN, M, Kp,
                                        wfxN, wfxB, wfxE, wfxC, wfxJ,
                                        fM, fI, fD, 4, fsc_row);
-        bck_impl<float>(Pu, win, Ld, M, Kp,
-                        wbxN, wbxB, wbxE, wbxC, wbxJ, bM, bI, bD, 4,
-                        bsc_row);
         hmmdp_phase_s[3] += now_s() - tt; tt = now_s();
 
-        // posterior decode: matrices are raw odds with per-row log scales
-        // (keep==2), so the per-cell work is one multiply -- the exp is
-        // per-row.  Row factors are clamped so pathological rows cannot
-        // produce inf * 0.
+        // fused Backward + posterior decode (one pass, no stored
+        // backward matrices; see bck_decode_impl)
         float* ppM = g_arena.alloc<float>(rows);
         float* ppI = g_arena.alloc<float>(rows);
         float* ppN = g_arena.alloc<float>(Ld + 1);
         float* ppJ = g_arena.alloc<float>(Ld + 1);
         float* ppC = g_arena.alloc<float>(Ld + 1);
-        for (int kk = 0; kk < W; kk++) { ppM[kk] = 0.0f; ppI[kk] = 0.0f; }
-        for (int i2 = 1; i2 <= Ld; i2++) {
-            const size_t o = (size_t)i2 * W;
-            double arg = fsc_row[i2] + bsc_row[i2] - envsc;
-            // clamp for f32 range: posteriors are <= 1 in exact
-            // arithmetic, so any arg above ~0 is already pathological
-            float rfac = (float)std::exp(std::min(arg, 80.0));
-            float* __restrict__ pMo = ppM + o;
-            float* __restrict__ pIo = ppI + o;
-            const float* __restrict__ fMo = fM + o;
-            const float* __restrict__ fIo = fI + o;
-            const float* __restrict__ bMo = bM + o;
-            const float* __restrict__ bIo = bI + o;
-#pragma GCC ivdep
-            for (int kk = 0; kk < W; kk++) {
-                pMo[kk] = fMo[kk] * bMo[kk] * rfac;
-                pIo[kk] = fIo[kk] * bIo[kk] * rfac;
-            }
-        }
-        ppN[0] = ppJ[0] = ppC[0] = 0.0f;
-        {
-            const double eLoopU = std::exp(su.xN[0]);
-            for (int i2 = 1; i2 <= Ld; i2++) {
-                double ef = std::exp(fsc_row[i2 - 1] + bsc_row[i2]
-                                     - envsc);
-                ppN[i2] = (float)(wfxN[i2 - 1] * eLoopU * wbxN[i2] * ef);
-                ppJ[i2] = (float)(wfxJ[i2 - 1] * eLoopU * wbxJ[i2] * ef);
-                ppC[i2] = (float)(wfxC[i2 - 1] * eLoopU * wbxC[i2] * ef);
-            }
-        }
+        bck_decode_impl<float>(Pu, win, Ld, M, Kp, fM, fI,
+                               wfxN, wfxJ, wfxC, fsc_row, envsc,
+                               ppM, ppI, ppN, ppJ, ppC);
 
         hmmdp_phase_s[4] += now_s() - tt; tt = now_s();
         double domcorrection = 0.0;

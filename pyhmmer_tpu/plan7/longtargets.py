@@ -25,6 +25,7 @@ the oracle the batched path must agree with.
 from __future__ import annotations
 
 import math
+import os as _os
 import numpy as np
 from typing import Iterable, List, Optional, Union
 
@@ -179,6 +180,7 @@ class LongTargetsPipeline(Pipeline):
             records = self._streamed_records(sequences, W, C)
         else:
             records = self._inmemory_records(sequences, W, C)
+        pend: List[dict] = []
         for t, (sq, win_iter, final_len) in enumerate(records):
             nh0 = len(hits.hits)
             for i, win, n_prov in win_iter:
@@ -188,15 +190,25 @@ class LongTargetsPipeline(Pipeline):
                 self.nres += wn
                 if self.strand != "crick":
                     self.nres -= Cw
-                    self._process_window(prof, prof_uni, win, i + 1, n_prov,
-                                         "+", t, sq, max_length, hits)
+                    self._collect_subwindows(prof, win, i + 1, n_prov,
+                                             "+", t, sq, max_length, pend)
                 else:
                     self.nres -= wn
                 if self.strand != "watson":
                     rc = self.alphabet.complement_map[win][::-1]
-                    self._process_window(prof, prof_uni, rc, i + wn, n_prov,
-                                         "-", t, sq, max_length, hits)
+                    self._collect_subwindows(prof, rc, i + wn, n_prov,
+                                             "-", t, sq, max_length, pend)
                     self.nres += Ww
+                if len(pend) >= 256:
+                    self._flush_subwindows(prof, prof_uni, max_length,
+                                           hits, pend)
+                    pend = []
+            # flush at record end so per-record length patching sees
+            # every hit of this record
+            if pend:
+                self._flush_subwindows(prof, prof_uni, max_length, hits,
+                                       pend)
+                pend = []
             n = final_len()
             for h in hits.hits[nh0:]:
                 h.length = n
@@ -318,11 +330,12 @@ class LongTargetsPipeline(Pipeline):
 
     # ------------------------------------------------------------------
 
-    def _process_window(self, prof: Profile, prof_uni: Profile,
-                        wdsq: np.ndarray, win_start: int, orig_len: int,
-                        strand: str, seqidx: int, sq: DigitalSequence,
-                        max_length: int, hits: TopHits) -> None:
-        """Run the long-target cascade on one window of one strand.
+    def _collect_subwindows(self, prof: Profile, wdsq: np.ndarray,
+                            win_start: int, orig_len: int, strand: str,
+                            seqidx: int, sq: DigitalSequence,
+                            max_length: int, pend: List[dict]) -> None:
+        """SSV-seed one window of one strand and append the merged
+        candidate subwindows to ``pend`` (gated later in a batch).
 
         ``win_start``: 1-based coordinate (on the original strand) of the
         window's first residue for '+', or of the residue *preceding* the
@@ -331,7 +344,6 @@ class LongTargetsPipeline(Pipeline):
         L = len(wdsq)
         if L == 0:
             return
-        ev = prof.evparam.astype(np.float64)
 
         # --- SSV seeding over the whole window --------------------------
         # The MSV Gumbel calibration does not length-normalize for DNA at
@@ -358,11 +370,45 @@ class LongTargetsPipeline(Pipeline):
                 subs[-1][1] = max(subs[-1][1], b)
             else:
                 subs.append([a, b])
-
-        bg = self.background
         for a, b in subs:
-            sub = wdsq[a - 1: b]
-            Ls = b - a + 1
+            pend.append(dict(sub=np.ascontiguousarray(wdsq[a - 1: b]),
+                             a=a, win_start=win_start, orig_len=orig_len,
+                             strand=strand, seqidx=seqidx, sq=sq))
+
+    #: margin (nats) for the f32 device Viterbi/Forward prefilters: lanes
+    #: within this much of a gate threshold are re-checked with the exact
+    #: host kernels, so the surviving set is identical to the host path
+    DEVICE_GATE_MARGIN = 1.0
+
+    def _flush_subwindows(self, prof: Profile, prof_uni: Profile,
+                          max_length: int, hits: TopHits,
+                          pend: List[dict]) -> None:
+        """Gate a batch of candidate subwindows and run the envelope
+        machinery on the survivors.
+
+        With enough candidates the MSV scores come from the batched device
+        kernel (uint8-quantized DP is integer-exact on device, so the gate
+        is identical to the host path) and the f32 device Viterbi/Forward
+        run as margin-checked prefilters in front of the exact host
+        kernels -- the TPU analog of the reference's per-window SIMD
+        filters (SURVEY 2.6 sequence-length parallelism).  Small batches
+        take the host path directly."""
+        ev = prof.evparam.astype(np.float64)
+        bg = self.background
+
+        n = len(pend)
+        usc_batch = None
+        vit_pre = fwd_pre = None
+        if n >= 4 and _os.environ.get("PYHMMER_TPU_NHMMER_DEVICE",
+                                      "1") != "0":
+            try:
+                usc_batch, vit_pre, fwd_pre = self._device_gates(prof, pend)
+            except Exception:
+                usc_batch = None    # device path unavailable: host gates
+
+        for j, job in enumerate(pend):
+            sub = job["sub"]
+            Ls = len(sub)
             bg.set_length(Ls)
             prof.reconfig_length(Ls)
             prof_uni.reconfig_length(Ls)
@@ -374,25 +420,37 @@ class LongTargetsPipeline(Pipeline):
                 filtersc = bg.filter_score(sub)
             else:
                 filtersc = nullsc
-            usc = ref.msv_score_quantized(prof, sub)
+            if usc_batch is not None:
+                usc = float(usc_batch[j])
+            else:
+                usc = ref.msv_score_quantized(prof, sub)
             P = float(gumbel_surv((usc - filtersc) / LOG2, ev[0], ev[1]))
             if P > self.F1:
                 continue
             self.n_past_bias += 1
 
-            # Viterbi gate (native C++ kernels when available: the
-            # NumPy reference DP is ~30x slower per window)
+            # Viterbi gate (f32 device prefilter with margin, exact
+            # host kernel for anything near or past the threshold)
             if P > self.F2:
+                vmin = filtersc + LOG2 * (ev[2] - math.log(self.F2) / ev[3])
+                if (vit_pre is not None
+                        and vit_pre[j] < vmin - self.DEVICE_GATE_MARGIN):
+                    continue
                 if native.available():
                     vfsc = native.viterbi_score(prof, sub)
                 else:
                     vfsc = ref.viterbi_score(prof, sub)
-                P = float(gumbel_surv((vfsc - filtersc) / LOG2, ev[2], ev[3]))
+                P = float(gumbel_surv((vfsc - filtersc) / LOG2, ev[2],
+                                      ev[3]))
                 if P > self.F2:
                     continue
             self.n_past_vit += 1
 
-            # Forward gate
+            # Forward gate (same prefilter pattern)
+            fmin = filtersc + LOG2 * (ev[4] - math.log(self.F3) / ev[5])
+            if (fwd_pre is not None
+                    and fwd_pre[j] < fmin - self.DEVICE_GATE_MARGIN):
+                continue
             if native.available():
                 fwd = native.fwdbck(prof, sub, True, False)
             else:
@@ -413,8 +471,86 @@ class LongTargetsPipeline(Pipeline):
                                     do_null2=self.null2, rng=self._rng)
             for d in res.domains:
                 self._make_longtarget_hit(
-                    prof, prof_uni, sq, d, sub, a, Ls, win_start, orig_len,
-                    strand, seqidx, max_length, nullsc, hits, res)
+                    prof, prof_uni, job["sq"], d, sub, job["a"], Ls,
+                    job["win_start"], job["orig_len"], job["strand"],
+                    job["seqidx"], max_length, nullsc, hits, res)
+
+    def _device_gates(self, prof: Profile, pend: List[dict]):
+        """Batched device filter scores for a set of subwindows: exact
+        quantized MSV [n] plus f32 Viterbi/Forward prefilter scores [n]
+        (Pallas kernels on TPU, the XLA fallback kernels elsewhere)."""
+        from ..ops import batch as B
+        import jax
+
+        key = getattr(prof, "_lt_device_cache", None)
+        if key is None or key[0] != prof.M:
+            profs = [prof] * 8
+            pb = B.ProfileBatch(profs, Mp=B.round_up(prof.M, 32))
+            prof._lt_device_cache = (prof.M, pb)
+        else:
+            pb = key[1]
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+        lens = np.array([len(j["sub"]) for j in pend], dtype=np.int64)
+        Lmax = int(lens.max())
+        fill = self.alphabet.nonresidue_code
+        codes = np.full((len(pend), Lmax), fill, dtype=np.uint8)
+        for r, j in enumerate(pend):
+            codes[r, : lens[r]] = j["sub"]
+        order = np.argsort(lens, kind="stable")
+        codes = codes[order]
+        slens = lens[order]
+        dev = B.SeqDevice(codes, slens)
+
+        if use_pallas:
+            from ..ops.msv_pallas import msv_scores_pallas
+            usc = msv_scores_pallas(pb, codes, slens, dev)[0]
+        else:
+            usc = B.msv_scores(pb, codes, slens, dev)[0]
+
+        from ..engine import (_gather_survivors, _gather_survivors_strips,
+                              _fetch_all)
+        import jax.numpy as jnp
+        ridx = np.full(dev.Bpad, -1, dtype=np.int32)
+        ridx[: dev.B] = np.arange(dev.B)
+        if use_pallas:
+            from ..ops import vit_pallas as VP, fwd_pallas as FP
+            from ..ops.msv_pallas import _lane_tile
+            Bt = min(dev.Bpad, 256)
+            codes_t, lens_r, lm, bnd = _gather_survivors(
+                dev.codes_t, dev.lens_d, jnp.asarray(ridx), Bt)
+            tv = VP.build_vit_tensors(pb)
+            vit_d = VP._vit_pallas(lens_r, codes_t, tv["msc"], tv["isc"],
+                                   tv["tr"], lm, bnd)
+            tf = FP.build_fwd_tensors2(pb)
+            Btf = _lane_tile(dev.Lmax, dev.Bpad)
+            R = FP._strip_r_fwd(tf["Mp"], Btf)
+            strips, lens2, lm2, bnd2 = _gather_survivors_strips(
+                dev.codes_t, dev.lens_d, jnp.asarray(ridx), R, Btf)
+            fwd_d = FP._fwd_pallas2(lens2, strips, tf["ems"], tf["eis"],
+                                    tf["etr2"], tf["sdd"], lm2, bnd2,
+                                    R, Btf)
+            vit_s, fwd_s = _fetch_all([vit_d, fwd_d])
+        else:
+            from ..engine import _gather_rows_dev
+            from ..ops.batch import _viterbi_kernel, _forward_kernel
+            codes_g, mask, loop, move = _gather_rows_dev(
+                dev, jnp.asarray(ridx))
+            xEj = np.float32(np.log(0.5))
+            args = pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD",
+                             "tDD", "tBM", "tMI", "tII", "kmask")
+            vit_d = _viterbi_kernel(codes_g, mask, *args, xEj, xEj, loop,
+                                    move, pb.Kp)
+            fwd_d = _forward_kernel(codes_g, mask, *args, xEj, xEj, loop,
+                                    move, pb.Kp)
+            vit_s, fwd_s = _fetch_all([vit_d, fwd_d])
+
+        inv = np.empty(len(pend), dtype=np.int64)
+        inv[order] = np.arange(len(pend))
+        usc_out = np.asarray(usc, np.float64)[: dev.B][inv]
+        vit_out = np.asarray(vit_s, np.float64)[0, : dev.B][inv]
+        fwd_out = np.asarray(fwd_s, np.float64)[0, : dev.B][inv]
+        return usc_out, vit_out, fwd_out
 
     def _make_longtarget_hit(self, prof, prof_uni, sq, d, sub, sub_start,
                              window_len, win_start, orig_len, strand, seqidx,
