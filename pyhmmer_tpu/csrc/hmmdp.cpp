@@ -1082,33 +1082,79 @@ int64_t hmmdp_ssv_seed(
     int32_t M, int32_t Kp,
     int64_t* pos_out, int64_t max_out) {
     (void)Kp;
-    int16_t* mpv = new int16_t[M]();
-    int16_t* nv = new int16_t[M];
+    // state buffers carry a leading slot pinned to xBv so the k-1 shift
+    // needs no edge branch; the row body is pure elementwise int32
+    // (max/min/sub/relu + a max reduction), which the compiler
+    // vectorizes -- this loop touches EVERY genome residue, it is the
+    // nhmmer analog of the protein MSV hot loop
+    int32_t* bufA = new int32_t[M + 1];
+    int32_t* bufB = new int32_t[M + 1];
+    for (int k = 0; k <= M; k++) bufA[k] = 0;
+    bufA[0] = bufB[0] = xBv;
+    int32_t* __restrict__ mpv = bufA;
+    int32_t* __restrict__ nv = bufB;
     int64_t n = 0;
-    const int16_t entry = (int16_t)std::min(xBv + bias_b, 255);
+    const int32_t bias = bias_b;
+    const int32_t xb = xBv;
     for (int64_t i = 1; i <= L; i++) {
-        const int32_t* c = cost + (size_t)dsq[i - 1] * M;
-        int16_t mx = 0;
-        int16_t v0 = (int16_t)std::max(entry - c[0], 0);
-        mx = v0;
-        int16_t prev_shift;
-        for (int k = M - 1; k >= 1; k--) {
-            prev_shift = mpv[k - 1] > xBv ? mpv[k - 1] : (int16_t)xBv;
-            int16_t v = (int16_t)std::min(prev_shift + bias_b, 255) - (int16_t)c[k];
-            if (v < 0) v = 0;
+        const int32_t* __restrict__ c = cost + (size_t)dsq[i - 1] * M;
+        int32_t mx = 0;
+        for (int k = 1; k <= M; k++) {
+            int32_t v = std::max(mpv[k - 1], xb);
+            v = std::min(v + bias, 255) - c[k - 1];
+            v = std::max(v, 0);
             nv[k] = v;
-            if (v > mx) mx = v;
+            mx = std::max(mx, v);
         }
-        nv[0] = v0;
         if (mx >= thresh) {
             if (n < max_out) pos_out[n] = i;
             n++;
-            std::memset(nv, 0, sizeof(int16_t) * M);
+            for (int k = 1; k <= M; k++) nv[k] = 0;
         }
         std::swap(mpv, nv);
     }
-    delete[] mpv; delete[] nv;
+    delete[] bufA; delete[] bufB;
     return n < max_out ? n : max_out;
+}
+
+// Quantized MSV filter score (p7_MSVFilter uint8 semantics, integer
+// arithmetic -- bit-identical to ops/reference.py msv_score_quantized).
+// Returns the score in nats, or 1e30 on uint8 overflow (certainly
+// passing; the caller maps it to +inf).
+double hmmdp_msv_quant(
+    const uint8_t* dsq, int64_t L,
+    const int32_t* cost,           // [Kp, M]
+    int32_t bias_b, int32_t base_b, int32_t tjb_b,
+    int32_t tec_b, int32_t tbm_b, double scale_b,
+    int32_t M, int32_t Kp) {
+    (void)Kp;
+    int32_t* bufA = new int32_t[M + 1];
+    int32_t* bufB = new int32_t[M + 1];
+    for (int k = 0; k <= M; k++) bufA[k] = 0;
+    int32_t* __restrict__ mpv = bufA;
+    int32_t* __restrict__ nv = bufB;
+    int32_t xJ = 0;
+    int32_t xB = std::max(0, base_b - tjb_b);
+    const int32_t ovf = 255 - bias_b;
+    for (int64_t i = 1; i <= L; i++) {
+        const int32_t xBv = std::max(0, xB - tbm_b);
+        const int32_t* __restrict__ c = cost + (size_t)dsq[i - 1] * M;
+        mpv[0] = xBv;
+        int32_t mx = 0;
+        for (int k = 1; k <= M; k++) {
+            int32_t v = std::max(mpv[k - 1], xBv);
+            v = std::min(v + bias_b, 255) - c[k - 1];
+            v = std::max(v, 0);
+            nv[k] = v;
+            mx = std::max(mx, v);
+        }
+        if (mx >= ovf) { delete[] bufA; delete[] bufB; return 1e30; }
+        xJ = std::max(xJ, mx - tec_b);
+        xB = std::max(base_b, xJ) - tjb_b;
+        std::swap(mpv, nv);
+    }
+    delete[] bufA; delete[] bufB;
+    return ((double)xJ - (double)tjb_b - (double)base_b) / scale_b - 3.0;
 }
 
 }  // extern "C"

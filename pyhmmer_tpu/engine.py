@@ -489,7 +489,8 @@ class SearchEngine:
                                  fwdsc, nullsc_b, res)
             return ("hit", hit)
 
-        def _submit(ci, bi, pi, pass_row, fcols, idx, vit_min_row=None):
+        def _submit(ci, bi, pi, pass_row, fcols, idx, vit_min_row=None,
+                    spec=False):
             st = states[ci]
             pli = st.pipelines[pi]
             c = ctx[(ci, bi)]
@@ -511,7 +512,7 @@ class SearchEngine:
                        vit_min)
                 fut = (executor.submit(_run_domaindef, job)
                        if executor is not None else None)
-                pending.append((job, fut))
+                pending.append((job, fut, spec))
 
         ctx: dict = {}
 
@@ -668,13 +669,16 @@ class SearchEngine:
                     st.F2 * F2_SKIP_SLACK, SPECULATE_P1B))
                 if spec.any():
                     c = ctx[(ci, bi)]
+                    _tmark["nspec"] = _tmark.get("nspec", 0) + int(
+                        spec.sum())
                     for pi, pli in enumerate(st.pipelines):
                         cols = np.where(spec[pi])[0]
                         if len(cols) == 0:
                             continue
                         pli.n_past_vit += len(cols)
                         _submit(ci, bi, pi,
-                                np.ones(len(cols), dtype=bool), cols, idx)
+                                np.ones(len(cols), dtype=bool), cols, idx,
+                                spec=True)
                     pass2 = pass2 & ~spec
                     c["pass2"] = pass2
                     if not pass2.any():
@@ -792,13 +796,16 @@ class SearchEngine:
         # ---- collect: serial append of worker-built hits (deterministic
         # insertion order = deterministic tie-breaking in sort) ----
         _mark("s3_host_done")
-        for job, fut in pending:
+        for job, fut, spec_job in pending:
             (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
              vit_min) = job
             st = states[ci]
             pli = st.pipelines[pi]
             vit_gated_here = vit_min is not None and np.isfinite(vit_min)
             out = fut.result() if fut is not None else None
+            if spec_job and out is not None:
+                key = "nspec_hit" if out[0] == "hit" else "nspec_gated"
+                _tmark[key] = _tmark.get(key, 0) + 1
             if out is None:
                 # pure-Python fallback (no native library)
                 sq = targets[tgt]

@@ -132,6 +132,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I64P, ctypes.c_int64,
     ]
     lib.hmmdp_ssv_seed.restype = ctypes.c_int64
+    lib.hmmdp_msv_quant.argtypes = [
+        _U8, ctypes.c_int64,
+        _I32P,                          # cost [Kp, M]
+        _I32, _I32, _I32, _I32, _I32,   # bias, base, tjb, tec, tbm
+        ctypes.c_double,                # scale_b
+        _I32, _I32,                     # M, Kp
+    ]
+    lib.hmmdp_msv_quant.restype = ctypes.c_double
     _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
     _I64PP = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     lib.hmmdp_domaindef.argtypes = [
@@ -186,6 +194,23 @@ def ssv_seed(quant, dsq: np.ndarray, xBv: int, thresh: int,
                            int(xBv), int(thresh), quant.M,
                            cost.shape[0], pos, max_out)
     return pos[:n]
+
+
+def msv_quant(quant, dsq: np.ndarray) -> Optional[float]:
+    """Quantized MSV filter score in nats (integer-exact twin of
+    ``ops.reference.msv_score_quantized``); np.inf on uint8 overflow.
+    None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(quant.cost, dtype=np.int32)
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    L = len(dsq8)
+    sc = lib.hmmdp_msv_quant(dsq8, L, cost, int(quant.bias_b),
+                             int(quant.base_b), int(quant.tjb_b(L)),
+                             int(quant.tec_b), int(quant.tbm_b),
+                             float(quant.scale_b), quant.M, cost.shape[0])
+    return np.inf if sc >= 1e29 else float(sc)
 
 
 class ProfTensors:

@@ -44,7 +44,11 @@ def tjb_units(L) -> np.ndarray:
 
 
 def quantize_msv(prof) -> MSVQuant:
-    """Build the uint8 MSV scoring system for a configured profile."""
+    """Build the uint8 MSV scoring system for a configured profile
+    (cached on the profile: emissions are length-independent)."""
+    cached = getattr(prof, "_msv_quant", None)
+    if cached is not None and cached.M == prof.M:
+        return cached
     scale_b = 3.0 / np.log(2.0)
     base_b = 190
     msc = np.maximum(prof.msc, NEGMASS)          # [Kp, M+1] nats
@@ -57,7 +61,7 @@ def quantize_msv(prof) -> MSVQuant:
     def ub(sc_nats: float) -> int:
         return min(255, int(round(-scale_b * sc_nats)))
 
-    return MSVQuant(
+    out = MSVQuant(
         cost=cost,
         bias_b=bias_b,
         base_b=base_b,
@@ -66,3 +70,8 @@ def quantize_msv(prof) -> MSVQuant:
         tbm_b=ub(np.log(2.0 / (prof.M * (prof.M + 1.0)))),
         M=prof.M,
     )
+    try:
+        prof._msv_quant = out
+    except AttributeError:
+        pass
+    return out

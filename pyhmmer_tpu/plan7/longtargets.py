@@ -399,8 +399,15 @@ class LongTargetsPipeline(Pipeline):
         n = len(pend)
         usc_batch = None
         vit_pre = fwd_pre = None
-        if n >= 4 and _os.environ.get("PYHMMER_TPU_NHMMER_DEVICE",
-                                      "1") != "0":
+        dev_env = _os.environ.get("PYHMMER_TPU_NHMMER_DEVICE", "auto")
+        use_device = dev_env == "force"
+        if not use_device and dev_env != "0" and n >= 4:
+            # the batched gates only pay on an accelerator: the XLA
+            # fallback kernels on CPU are far slower than the native
+            # host cascade
+            import jax
+            use_device = jax.default_backend() not in ("cpu",)
+        if use_device:
             try:
                 usc_batch, vit_pre, fwd_pre = self._device_gates(prof, pend)
             except Exception:
@@ -422,6 +429,8 @@ class LongTargetsPipeline(Pipeline):
                 filtersc = nullsc
             if usc_batch is not None:
                 usc = float(usc_batch[j])
+            elif native.available():
+                usc = native.msv_quant(quantize_msv(prof), sub)
             else:
                 usc = ref.msv_score_quantized(prof, sub)
             P = float(gumbel_surv((usc - filtersc) / LOG2, ev[0], ev[1]))
@@ -446,29 +455,43 @@ class LongTargetsPipeline(Pipeline):
                     continue
             self.n_past_vit += 1
 
-            # Forward gate (same prefilter pattern)
+            # Forward gate (same prefilter pattern).  P <= F3 is
+            # equivalent to fwdsc >= fmin, so the native domain-definition
+            # driver applies the gate itself via fwd_min (bailing after
+            # its exact Forward) and the full envelope machinery runs in
+            # C++ -- the python define_domains path is the oracle
+            # fallback only.
             fmin = filtersc + LOG2 * (ev[4] - math.log(self.F3) / ev[5])
             if (fwd_pre is not None
                     and fwd_pre[j] < fmin - self.DEVICE_GATE_MARGIN):
                 continue
+            res = None
             if native.available():
-                fwd = native.fwdbck(prof, sub, True, False)
+                seed = (self.seed if self.do_reseeding
+                        else int(self._rng.integers(0, 2**62)))
+                out = native.domaindef(prof, sub, self.null2, seed,
+                                       fwd_min=fmin)
             else:
+                out = None
+            if out is not None:
+                fwdsc, res = out
+                if fwdsc < fmin:
+                    continue
+                self.n_past_fwd += 1
+            else:
+                # pure-python fallback (no native library)
                 fwd = ref.forward(prof, sub)
-            P = float(exp_surv((fwd.score - filtersc) / LOG2, ev[4], ev[5]))
-            if P > self.F3:
-                continue
-            self.n_past_fwd += 1
-
-            # envelope definition on the subwindow
-            if self.do_reseeding:
-                self._rng = np.random.default_rng(self.seed)
-            if native.available():
-                bck = native.fwdbck(prof, sub, True, True)
-            else:
+                P = float(exp_surv((fwd.score - filtersc) / LOG2,
+                                   ev[4], ev[5]))
+                if P > self.F3:
+                    continue
+                self.n_past_fwd += 1
+                if self.do_reseeding:
+                    self._rng = np.random.default_rng(self.seed)
                 bck = ref.backward(prof, sub)
-            res = dd.define_domains(prof, prof_uni, sub, fwd, bck,
-                                    do_null2=self.null2, rng=self._rng)
+                res = dd.define_domains(prof, prof_uni, sub, fwd, bck,
+                                        do_null2=self.null2,
+                                        rng=self._rng)
             for d in res.domains:
                 self._make_longtarget_hit(
                     prof, prof_uni, job["sq"], d, sub, job["a"], Ls,

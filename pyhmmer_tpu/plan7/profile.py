@@ -94,6 +94,7 @@ class Profile:
                   multihit: bool = True, local: bool = True) -> "Profile":
         if hmm.alphabet != self.alphabet:
             raise ValueError("alphabet mismatch")
+        self._msv_quant = None   # invalidate the cached quantization
         if not local:
             raise NotImplementedError(
                 "glocal mode is not used by any pyhmmer pipeline; "
