@@ -1,9 +1,14 @@
 """Benchmark: hmmsearch throughput on real TPU hardware.
 
-Workload: the reference's bundled protein HMMs (replicated into a query
-stack) searched against the bundled 2100-sequence E. coli proteome
-subset -- the same shape as the reference's headline Pfam x E. coli
-benchmark (BASELINE.md).  Reports profile x sequence comparisons/s.
+Workload: ALL of the reference's bundled protein HMMs (14 models, the
+four named families plus RREFam's ten) together with length-varied
+variants spanning M = 70..900, replicated into a Pfam-shaped query
+stack (mean model length ~170, like Pfam v33.1) and searched against
+the bundled 2100-sequence E. coli proteome subset -- the same shape as
+the reference's headline Pfam x E. coli benchmark (BASELINE.md).  The
+length spread exercises the Mp-group ladder, bucket economics, and the
+compile cache the way a real Pfam sweep would (round-3 verdict, weak
+#3).  Reports profile x sequence comparisons/s.
 
 Baseline: pyhmmer 0.11.1, 12 CPU threads, pressed Pfam: 2.19e6 cmp/s
 (BASELINE.md derived-throughput table).
@@ -22,21 +27,93 @@ BASELINE_CMP_PER_S = 2.19e6
 DATA = "/root/reference/src/pyhmmer/tests/data"
 
 
-def load_queries(replicate: int):
+def length_variant(hmm, M_new: int):
+    """A valid HMM of ``M_new`` nodes built by tiling the body nodes of
+    ``hmm`` (node 0 and the final node keep their special transition
+    structure).  Used to give the bench a Pfam-like model-length spread
+    without shipping extra fixtures; evparams are inherited (close
+    enough for filter-gate behavior -- this is a workload generator, not
+    a calibrated model)."""
+    import copy as _copy
+    import numpy as np
+    from pyhmmer_tpu.plan7.hmm import HMM
+
+    M = hmm.M
+    v = HMM(hmm.alphabet, M_new, name=hmm.name + b"/M%d" % M_new)
+    idx = np.empty(M_new + 1, dtype=np.int64)
+    idx[0] = 0
+    idx[1:M_new] = 1 + (np.arange(M_new - 1) % (M - 1))
+    idx[M_new] = M
+    v.t = hmm.t[idx].copy()
+    v.mat = hmm.mat[idx].copy()
+    v.ins = hmm.ins[idx].copy()
+    v.evparam = _copy.deepcopy(hmm.evparam)
+    v.nseq, v.eff_nseq = hmm.nseq, hmm.eff_nseq
+    v.set_composition()
+    v.set_consensus()
+    return v
+
+
+#: (model -> extra lengths) giving ~16 variant sizes across 70..900
+VARIANT_SPEC = {
+    b"Stand_Alone_Lasso_RRE": (70,),
+    b"Thioesterase": (75,),
+    b"2-Hacid_dh_C": (90, 560),
+    b"Thiopeptide_F_RRE": (120,),
+    b"KR": (130,),
+    b"PqqD_RRE": (150,),
+    b"Proteusin_Epimerase_RRE": (205,),
+    b"Thurincin_rSAM_RRE": (320,),
+    b"Thuricin_rSAM_RRE": (450,),
+    b"Other_Sactipeptide_rSAM_RRE": (520,),
+    b"Ranthipeptide_rSAM_RRE": (600,),
+    b"LuxC": (680, 900),
+    b"Trifolitoxin_RRE": (730,),
+    b"Thiaglutamate_B_RRE": (830,),
+}
+
+
+def load_queries(scale: float = 1.0):
+    """Build the Pfam-shaped query stack: every bundled protein model,
+    the length variants, and replication weights chosen so the
+    model-length distribution is Pfam-like (skewed small, mean ~170)."""
     from pyhmmer_tpu.plan7 import HMMFile
-    hmms = []
+
+    base = []
     for name in ("PF02826", "Thioesterase", "KR", "LuxC", "RREFam"):
         path = os.path.join(DATA, "hmms", "txt", f"{name}.hmm")
         if not os.path.exists(path):
             continue
         with HMMFile(path) as f:
-            hmms.extend(list(f))
+            base.extend(list(f))
+
+    models = list(base)
+    for h in base:
+        for M_new in VARIANT_SPEC.get(h.name, ()):
+            models.append(length_variant(h, M_new))
+
+    def weight(M):
+        # Pfam v33.1-like length mix: strongly skewed toward short
+        # models (median ~130), thin tail out to ~900
+        if M < 110:
+            return 20
+        if M < 160:
+            return 13
+        if M < 280:
+            return 10
+        if M < 480:
+            return 7
+        if M < 650:
+            return 4
+        return 3
+
     out = []
-    for r in range(replicate):
-        for h in hmms:
-            hh = h.copy() if r else h
-            if r:
-                hh.name = h.name + b"/r%d" % r
+    for h in models:
+        n = max(1, int(round(weight(h.M) * scale)))
+        out.append(h)
+        for r in range(1, n):
+            hh = h.copy()
+            hh.name = h.name + b"/r%d" % r
             out.append(hh)
     return out
 
@@ -46,8 +123,8 @@ def main():
     from pyhmmer_tpu.easel import SequenceFile
     from pyhmmer_tpu.engine import SearchEngine
 
-    replicate = int(os.environ.get("BENCH_REPLICATE", "32"))
-    queries = load_queries(replicate)
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    queries = load_queries(scale)
     with SequenceFile(os.path.join(
             DATA, "seqs", "938293.PRJEB85.HG003687.faa"),
             digital=True) as f:
@@ -91,11 +168,16 @@ def main():
                   sum(r.n_past_vit for r in results),
                   sum(r.n_past_fwd for r in results)), file=sys.stderr)
     value = ncmp / dt
+    Ms = [q.M for q in queries]
     print(json.dumps({
         "metric": "hmmsearch_tpu_comparisons_per_s",
         "value": round(value, 1),
         "unit": "profile*seq cmp/s",
         "vs_baseline": round(value / BASELINE_CMP_PER_S, 4),
+        "workload": {"nqueries": len(queries),
+                     "distinct_M": len(set(Ms)),
+                     "mean_M": round(sum(Ms) / len(Ms), 1),
+                     "ntargets": len(targets)},
         "stages": stages or {},
     }))
     print(f"# {len(queries)} queries x {len(targets)} targets = {ncmp} "

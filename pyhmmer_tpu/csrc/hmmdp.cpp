@@ -1176,8 +1176,39 @@ double hmmdp_msv_quant(
 // Per-phase wall-time accumulators (seconds), indexed:
 // 0=full fwd  1=full bck  2=decode+regions  3=env fwd/bck  4=env decode
 // 5=null2  6=optacc+trace  7=stotrace cluster.  Diagnostic only; read
-// through ctypes (ops/native.py phase_times).
-extern "C" double hmmdp_phase_s[8] = {0};
+// through ctypes (ops/native.py phase_times).  Accumulated thread_local
+// (domaindef runs concurrently on the engine's worker pool; a shared
+// array would race) and summed across threads on read: each thread
+// registers its block in a mutex-guarded list the first time it adds.
+#include <mutex>
+#include <vector>
+namespace {
+struct PhaseBlock { double s[8] = {0}; };
+std::mutex g_phase_mu;
+std::vector<PhaseBlock*> g_phase_blocks;
+thread_local PhaseBlock* t_phase = nullptr;
+inline void phase_add(int i, double dt) {
+    if (!t_phase) {
+        t_phase = new PhaseBlock();   // leaked per thread: bounded by pool
+        std::lock_guard<std::mutex> lk(g_phase_mu);
+        g_phase_blocks.push_back(t_phase);
+    }
+    t_phase->s[i] += dt;
+}
+}  // namespace
+
+extern "C" void hmmdp_phase_get(double* out8) {
+    std::lock_guard<std::mutex> lk(g_phase_mu);
+    for (int i = 0; i < 8; i++) out8[i] = 0.0;
+    for (PhaseBlock* b : g_phase_blocks)
+        for (int i = 0; i < 8; i++) out8[i] += b->s[i];
+}
+
+extern "C" void hmmdp_phase_reset() {
+    std::lock_guard<std::mutex> lk(g_phase_mu);
+    for (PhaseBlock* b : g_phase_blocks)
+        for (int i = 0; i < 8; i++) b->s[i] = 0.0;
+}
 
 namespace {
 
@@ -1462,7 +1493,7 @@ int32_t hmmdp_domaindef(
     double fwdsc = fwd_impl<float>(Pm, dsq, L, sm.xN, M, Kp,
                                    fxN, fxB, fxE, fxC, fxJ,
                                    dummy, dummy, dummy, 3, rsf);
-    hmmdp_phase_s[0] += now_s() - t_;
+    phase_add(0, now_s() - t_);
     if (fwdsc < fwd_min) {
         // exact-score gate miss: the caller's F3 re-check would drop this
         // target anyway, so skip Backward/decode/rescoring entirely
@@ -1476,7 +1507,7 @@ int32_t hmmdp_domaindef(
     t_ = now_s();
     bck_impl<float>(Pm, dsq, L, M, Kp,
                     bxN, bxB, bxE, bxC, bxJ, dummy, dummy, dummy, 3, rsb);
-    hmmdp_phase_s[1] += now_s() - t_;
+    phase_add(1, now_s() - t_);
     t_ = now_s();
 
     // ---- decode_specials: btot / etot / mocc (linear specials x
@@ -1505,7 +1536,7 @@ int32_t hmmdp_domaindef(
         }
     }
 
-    hmmdp_phase_s[2] += now_s() - t_;
+    phase_add(2, now_s() - t_);
 
     int ndom = 0;
     int nregions = 0, nclustered = 0, noverlaps = 0, nenvelopes = 0;
@@ -1536,7 +1567,7 @@ int32_t hmmdp_domaindef(
         double envsc = fwd_impl<float>(Pu, win, Ld, su.xN, M, Kp,
                                        wfxN, wfxB, wfxE, wfxC, wfxJ,
                                        fM, fI, fD, 4, fsc_row);
-        hmmdp_phase_s[3] += now_s() - tt; tt = now_s();
+        phase_add(3, now_s() - tt); tt = now_s();
 
         // fused Backward + posterior decode (one pass, no stored
         // backward matrices; see bck_decode_impl)
@@ -1549,7 +1580,7 @@ int32_t hmmdp_domaindef(
                                wfxN, wfxJ, wfxC, fsc_row, envsc,
                                ppM, ppI, ppN, ppJ, ppC);
 
-        hmmdp_phase_s[4] += now_s() - tt; tt = now_s();
+        phase_add(4, now_s() - tt); tt = now_s();
         double domcorrection = 0.0;
         if (do_null2 && !null2_done) {
             // null2 by expectation over all states incl. N/C/J flank mass
@@ -1591,7 +1622,7 @@ int32_t hmmdp_domaindef(
         if (do_null2)
             for (int pos = a; pos <= b; pos++) domcorrection += n2sc[pos];
 
-        hmmdp_phase_s[5] += now_s() - tt; tt = now_s();
+        phase_add(5, now_s() - tt); tt = now_s();
         // optimal accuracy DP + traceback
         const float NEGF = (float)NEGMASS;
         float* gMM = g_arena.alloc<float>(M);
@@ -1711,7 +1742,7 @@ int32_t hmmdp_domaindef(
             }
         }
 
-        hmmdp_phase_s[6] += now_s() - tt;
+        phase_add(6, now_s() - tt);
         bool ok = !tb.overflow && iali != 0;
         if (tb.overflow) fail = true;
         if (ok) {
@@ -1873,7 +1904,7 @@ int32_t hmmdp_domaindef(
                 }
                 delete[] spans;
                 g_arena.release(gmark);
-                hmmdp_phase_s[7] += now_s() - tt;
+                phase_add(7, now_s() - tt);
                 if (nenv == 0) { env_a[0] = ii; env_b[0] = jj; nenv = 1; }
                 // sort envelopes by start
                 for (int x = 1; x < nenv; x++)

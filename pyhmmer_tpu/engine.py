@@ -278,7 +278,7 @@ class SearchEngine:
 
     def __init__(self, alphabet: Alphabet, background: Optional[Background] = None,
                  p_max: int = DEFAULT_P_MAX, use_pallas: Optional[bool] = None,
-                 device=None, **pipeline_options):
+                 device=None, shared_executor=None, **pipeline_options):
         self.alphabet = alphabet
         self.background = background or Background(alphabet)
         self.p_max = p_max
@@ -291,6 +291,12 @@ class SearchEngine:
         #: ``parallel.mesh.sharded_search`` (one engine per device; the
         #: async dispatch overlaps execution across chips)
         self.device = device
+        #: optional caller-owned ThreadPoolExecutor for the native
+        #: postprocessing jobs.  When several engines run concurrently on
+        #: one host (``parallel.mesh.sharded_search``) they must share
+        #: one core-count pool -- per-engine pools would oversubscribe
+        #: the host and measurably inflate every native phase.
+        self.shared_executor = shared_executor
         self.options = pipeline_options
         # persistent across searches: configured-model artifacts keyed by
         # query identity, packed target buckets keyed by block identity
@@ -300,23 +306,29 @@ class SearchEngine:
     # -- device-side stage kernels (return device arrays, no fetch) --------
 
     def _msv_dev(self, pb, dev):
-        """Returns (dx, ovf) device arrays [P, B] f32 (pre-scale)."""
+        """Returns (dx, ovf, biaslog) device arrays [P, B] f32
+        (pre-scale).  ``biaslog`` is the fused f32 bias-filter log score
+        (None on the XLA fallback path, where the host filter runs
+        instead): the 2-state scan rides inside the MSV kernel at ~1/Mp
+        of its cost, so the bias stage needs no separate device pass and
+        the exact f64 host filter only re-checks gate-boundary pairs."""
         if self.use_pallas:
             from .ops.msv_pallas import (_msv_pallas, _strip_r,
                                          _lane_tile, build_msv_tensors)
             t = build_msv_tensors(pb)
             Bt = _lane_tile(dev.Lmax, dev.Bpad)
             R = _strip_r(t["cost"].shape[1], Bt)
-            dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"],
-                                  dev.tjb_row, t["scal"],
-                                  dev.tile_bounds(R, Bt), R, Bt)
-            return dx[:, : dev.B], ovf[:, : dev.B]
+            dx, ovf, biaslog = _msv_pallas(dev.strips(R, Bt), t["cost"],
+                                           dev.tjb_row, t["scal"],
+                                           dev.tile_bounds(R, Bt),
+                                           t["odds"], dev.p1_row, R, Bt)
+            return dx[:, : dev.B], ovf[:, : dev.B], biaslog[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
             dev.codes, dev.mask_f,
             *pb.device("msv_cost", "msv_bias", "msv_tec", "msv_tbm"),
             dev.tjb, pb.Kp)
-        return dx, ovf.astype(jnp.float32)
+        return dx, ovf.astype(jnp.float32), None
 
     def _bias_host(self, st, pi, codes, lengths, cols):
         """Bias-filter log scores (no null term) for one profile over the
@@ -430,7 +442,9 @@ class SearchEngine:
         for bucket in buckets.buckets:
             idx, codes, lengths, dev = bucket
             if dev is None:
-                bucket[3] = B.SeqDevice(codes, lengths)
+                bucket[3] = B.SeqDevice(
+                    codes, lengths,
+                    nonres_code=self.alphabet.nonresidue_code)
 
         # ---- globally staged execution ----
         # Every (profile chunk x sequence bucket) kernel for a stage is
@@ -458,7 +472,14 @@ class SearchEngine:
         # the postprocessing phases (context switching on 2-core hosts)
         nthreads = int(os.environ.get("PYHMMER_TPU_THREADS", "0")) or \
             max(2, os.cpu_count() or 2)
-        executor = _cf.ThreadPoolExecutor(nthreads) if native_ok else None
+        own_executor = False
+        if not native_ok:
+            executor = None
+        elif self.shared_executor is not None:
+            executor = self.shared_executor
+        else:
+            executor = _cf.ThreadPoolExecutor(nthreads)
+            own_executor = True
         pending = []   # (job tuple, future | None)
 
         def _run_domaindef(job):
@@ -516,14 +537,20 @@ class SearchEngine:
 
         ctx: dict = {}
 
-        # -- stage 1 (device): MSV for every chunk x bucket --
+        # -- stage 1 (device): MSV (+ fused bias filter) for every
+        # chunk x bucket --
         s1_parts = []
         s1_pairs = []
+        s1_width = 2
         for ci, st in enumerate(states):
             for bi, bucket in enumerate(buckets.buckets):
                 dev = bucket[3]
-                dx, ovf = self._msv_dev(st.pb, dev)
-                s1_parts.extend([dx, ovf])
+                dx, ovf, biaslog = self._msv_dev(st.pb, dev)
+                if biaslog is not None:
+                    s1_parts.extend([dx, ovf, biaslog])
+                    s1_width = 3
+                else:
+                    s1_parts.extend([dx, ovf])
                 s1_pairs.append((ci, bi))
         _mark("s1_enqueued")
 
@@ -563,7 +590,7 @@ class SearchEngine:
                 if pli.bias_filter:
                     pli.background.filter_odds_table()
 
-        def _gate_pair(ci, bi, dx_raw, ovf_raw):
+        def _gate_pair(ci, bi, dx_raw, ovf_raw, biaslog_raw=None):
             st = states[ci]
             idx, codes, lengths, dev = buckets.buckets[bi]
             Preal = st.Preal
@@ -592,23 +619,47 @@ class SearchEngine:
                 pli.n_past_msv += int(pass1[pi].sum())
             if not pass1.any():
                 return
-            args = (st, codes, lengths, pass1, nullsc, usc)
+            # device-fused bias prefilter: drop pairs whose f32 device
+            # bias score puts them past the F1 gate even with a
+            # length-scaled error margin in their favor; only the
+            # remaining candidates (true passers + boundary cases) pay
+            # the exact f64 host filter that all downstream thresholds
+            # are computed from.  Lanes containing nonresidue codes take
+            # the host path unconditionally (the device scan freezes on
+            # them).
+            cand = pass1
+            if biaslog_raw is not None:
+                fsc32 = biaslog_raw[:Preal].astype(np.float64) + nullsc
+                delta = 2e-3 + 1e-6 * L                  # [B] nats
+                P1b_opt = gumbel_surv(
+                    (usc - (fsc32 - delta)) / LOG2,
+                    st.ev[:, 0:1], st.ev[:, 1:2])
+                keep = (P1b_opt <= st.F1) | dev.has_nonres[None, :]
+                for pi, pli in enumerate(st.pipelines):
+                    if not pli.bias_filter:
+                        keep[pi] = True    # no bias scan needed anyway
+                cand = pass1 & keep
+                if not cand.any():
+                    return
+            args = (st, codes, lengths, cand, nullsc, usc)
             fut = (executor.submit(_bias_stage, *args)
                    if executor is not None else None)
-            s1_host_jobs.append((int(pass1.sum()), ci, bi, args, fut))
+            s1_host_jobs.append((int(cand.sum()), ci, bi, args, fut))
 
         # fetch the MSV stage in two halves so the first half's host
         # gating (and its bias batches on the pool) overlaps the second
         # half's device kernels
+        w = s1_width
         nh = (len(s1_pairs) + 1) // 2
         for lo, hi in ((0, nh), (nh, len(s1_pairs))):
             if lo >= hi:
                 continue
-            arrs = _fetch_all(s1_parts[2 * lo: 2 * hi])
+            arrs = _fetch_all(s1_parts[w * lo: w * hi])
             if lo == 0:
                 _mark("s1_fetched")
             for j, (ci, bi) in enumerate(s1_pairs[lo:hi]):
-                _gate_pair(ci, bi, arrs[2 * j], arrs[2 * j + 1])
+                _gate_pair(ci, bi, arrs[w * j], arrs[w * j + 1],
+                           arrs[w * j + 2] if w == 3 else None)
 
         # gate + route in descending survivor count so the densest
         # Forward kernels are enqueued (and later fetched) first -- their
@@ -837,7 +888,7 @@ class SearchEngine:
             hit = out[1]
             if hit is not None:
                 st.tophits[pi].hits.append(hit)
-        if executor is not None:
+        if executor is not None and own_executor:
             executor.shutdown()
         _mark("collect_done")
         _tmark["npending"] = len(pending)

@@ -202,7 +202,8 @@ class SeqDevice:
     chunk matters a lot on tunneled TPU setups where each host->device
     transfer costs tens of milliseconds."""
 
-    def __init__(self, codes: np.ndarray, lengths: np.ndarray):
+    def __init__(self, codes: np.ndarray, lengths: np.ndarray,
+                 nonres_code: Optional[int] = None):
         self.B, self.Lmax = codes.shape
         self.lengths = lengths
         L = np.maximum(lengths.astype(np.float64), 1.0)
@@ -224,6 +225,17 @@ class SeqDevice:
         self.loop = jnp.asarray(np.log(1.0 - pmove), jnp.float32)
         self.move = jnp.asarray(np.log(pmove), jnp.float32)
         self.p1 = jnp.asarray(L / (L + 1.0), jnp.float32)
+        p1_pad = np.ones(self.Bpad, dtype=np.float32)
+        p1_pad[: self.B] = (L / (L + 1.0)).astype(np.float32)
+        self.p1_row = jnp.asarray(p1_pad.reshape(1, -1))
+        #: lanes with a nonresidue code inside the real sequence (the
+        #: fused device bias filter freezes on nonresidue, the exact host
+        #: filter does not -- such lanes always take the host bias path)
+        if nonres_code is None:
+            self.has_nonres = np.zeros(self.B, dtype=bool)
+        else:
+            hit = (codes == nonres_code) & mask
+            self.has_nonres = hit.any(axis=1)
         scale = 3.0 / np.log(2.0)
         tjb = np.minimum(255, np.rint(-scale * np.log(3.0 / (L + 3.0))))
         self.tjb = jnp.asarray(tjb, jnp.float32)

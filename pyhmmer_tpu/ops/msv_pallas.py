@@ -62,14 +62,23 @@ def _lane_tile(Lmax: int, Bpad: int, budget: int = 1 << 19) -> int:
     return min(bt, Bpad) if Bpad >= 128 else Bpad
 
 
-def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref,
-              out_ref, ovf_ref, mpv, xj, *, R):
+def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref, odds_ref,
+              p1_ref, out_ref, ovf_ref, bias_ref, mpv, xj, st, *, R):
     """grid (P, nBt): one profile x one lane tile of the bucket.
 
     ``codes_ref`` is strip-packed ``[L/R, R*Bt]`` (host layout: row s holds
     sequence rows s*R..s*R+R-1 concatenated along lanes), so the one-hot
     emission gather runs ONE ``[Mp,KP]x[KP,R*Bt]`` MXU matmul per R rows
-    instead of a skinny latency-bound matmul per row."""
+    instead of a skinny latency-bound matmul per row.
+
+    The 2-state composition bias filter rides along in the same scan
+    (``st`` rows: 0=a0, 1=a1, 2=logsc, 3=started): its per-row update is
+    [1, Bt] lane work next to the [Mp, Bt] MSV cells, so the whole bias
+    stage costs ~1/Mp of the MSV pass instead of a separate host scan
+    over every MSV survivor.  ``odds_ref[p, code]`` holds the smoothed
+    compo emission odds with 0 at the nonresidue code as the padding
+    freeze sentinel.  f32 scores; the caller re-checks gate-boundary
+    lanes against the exact f64 host filter."""
     nS, RBt = codes_ref.shape
     Bt = RBt // R
     Mp = cost_ref.shape[1]
@@ -81,11 +90,22 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref,
 
     kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, RBt), 0)
     costb_bf16 = cost_ref[0].astype(jnp.bfloat16)
+    odds_row = odds_ref[0]                                   # [1, KP]
 
     mpv[...] = jnp.zeros((Mp, Bt), jnp.float32)
     xj[...] = jnp.zeros((1, Bt), jnp.float32)
     tjb = tjb_ref[0:1, :]                                    # [1, Bt]
     xb0 = jnp.maximum(base - tjb, 0.0)
+
+    # bias-filter state + per-lane transitions (state-0 dwell p1,
+    # state-1 mean dwell 50; entry pi=(0.999, 0.001) applied at the
+    # first valid residue via the `started` row)
+    t00 = p1_ref[0:1, :]                                     # [1, Bt]
+    t01 = 1.0 - t00
+    t11 = jnp.float32(50.0 / 51.0)
+    t10 = jnp.float32(1.0 / 51.0)
+    st[...] = jnp.zeros((8, Bt), jnp.float32)
+    st[0:1, :] = jnp.ones((1, Bt), jnp.float32)
 
     # The uint8 saturations are elided from the row loop: costs come in
     # pre-biased (costb = cost - bias), and whenever the 255 clamp COULD
@@ -102,6 +122,11 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref,
         costb_all = jax.lax.dot_general(
             costb_bf16, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [Mp, R*Bt]
+        ov_all = jax.lax.dot_general(
+            odds_row, onehot.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [1, R*Bt]
         for r in range(R):
             costb = costb_all[:, r * Bt: (r + 1) * Bt]       # [Mp, Bt]
             xbv = jnp.maximum(xb - tbm, 0.0)                 # [1, Bt]
@@ -111,33 +136,50 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref,
             xj[...] = jnp.maximum(xj[...], xe - tec)
             mpv[...] = sv
             xb = jnp.maximum(base, xj[...]) - tjb
+            # -- bias filter row update ([1, Bt] lane work) --
+            ov = ov_all[:, r * Bt: (r + 1) * Bt]
+            a0, a1 = st[0:1, :], st[1:2, :]
+            upd = ov > 0.0
+            first = upd & (st[3:4, :] == 0.0)
+            na0 = jnp.where(first, 0.999, a0 * t00 + a1 * t10)
+            na1 = jnp.where(first, 0.001, a0 * t01 + a1 * t11) * ov
+            ssum = na0 + na1
+            st[0:1, :] = jnp.where(upd, na0 / ssum, a0)
+            st[1:2, :] = jnp.where(upd, na1 / ssum, a1)
+            st[2:3, :] = jnp.where(upd, st[2:3, :] + jnp.log(ssum),
+                                   st[2:3, :])
+            st[3:4, :] = jnp.where(upd, 1.0, st[3:4, :])
         return xb
 
     # dynamic per-tile bound: rows past every lane's length are padding
-    # (costb = 255 - bias zeroes the state and cannot raise xj), so the
-    # scan stops after the tile's longest sequence -- exact by the same
-    # argument that makes full-length padding safe
+    # (costb = 255 - bias zeroes the state and cannot raise xj; odds 0
+    # freezes the bias state), so the scan stops after the tile's
+    # longest sequence -- exact by the same argument that makes
+    # full-length padding safe
     nS_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], nS)
     jax.lax.fori_loop(0, nS_b, strip, xb0)
     out_ref[...] = (xj[...] - base)[None]
     ovf_ref[...] = (xj[...] >= 255.0 - bias - tec).astype(jnp.float32)[None]
+    bias_ref[...] = st[2:3, :][None]   # log(a0+a1) = log(1) after rescale
 
 
 @partial(jax.jit, static_argnames=("R", "Bt"))
-def _msv_pallas(codes_strips, cost, tjb, scal, bnd, R, Bt=0):
+def _msv_pallas(codes_strips, cost, tjb, scal, bnd, odds, p1, R, Bt=0):
     """codes_strips [L/R, R*B] int32 strip-packed tile-major
     (nonresidue-padded); cost [P, Mp, KP_PAD] f32 quantized biased costs
     (255 in padding); tjb [1, B] f32; scal [P, 4] f32 (bias, tec, tbm,
-    -); bnd [1, B/Bt] i32 per-lane-tile strip bounds; Bt = lane-tile
-    width (0 = whole B).
-    Returns (xJ - base) [P, B] f32 and overflow flags [P, B] f32."""
+    -); bnd [1, B/Bt] i32 per-lane-tile strip bounds; odds [P, 1,
+    KP_PAD] f32 bias-filter emission odds (0 at nonresidue); p1 [1, B]
+    f32 per-lane state-0 dwell; Bt = lane-tile width (0 = whole B).
+    Returns ((xJ - base), overflow flags, bias-filter log score), each
+    [P, B] f32."""
     P, Mp, _ = cost.shape
     nS, RB = codes_strips.shape
     B = RB // R
     if not Bt:
         Bt = B
     grid = (P, B // Bt)
-    out, ovf = pl.pallas_call(
+    out, ovf, biaslog = pl.pallas_call(
         partial(_msv_body, R=R),
         grid=grid,
         in_specs=[
@@ -149,8 +191,14 @@ def _msv_pallas(codes_strips, cost, tjb, scal, bnd, R, Bt=0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [P, 4], full
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
+            pl.BlockSpec((1, 1, KP_PAD), lambda p, b: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt), lambda p, b: (0, b),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Bt), lambda p, b: (p, 0, b),
@@ -159,14 +207,16 @@ def _msv_pallas(codes_strips, cost, tjb, scal, bnd, R, Bt=0):
         out_shape=(
             jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1, B), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((Mp, Bt), jnp.float32),
             pltpu.VMEM((1, Bt), jnp.float32),
+            pltpu.VMEM((8, Bt), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(codes_strips, cost, tjb, scal, bnd)
-    return out[:, 0, :], ovf[:, 0, :]
+    )(codes_strips, cost, tjb, scal, bnd, odds, p1)
+    return out[:, 0, :], ovf[:, 0, :], biaslog[:, 0, :]
 
 
 def build_msv_tensors(pb) -> dict:
@@ -183,7 +233,15 @@ def build_msv_tensors(pb) -> dict:
     cost -= pb.msv_bias[:, None, None]
     scal = np.stack([pb.msv_bias, pb.msv_tec, pb.msv_tbm,
                      np.zeros(pb.P, np.float32)], axis=1).astype(np.float32)
-    out = {"cost": jnp.asarray(cost), "scal": jnp.asarray(scal)}
+    # bias-filter odds (same smoothed-compo table as the exact host
+    # filter, Background.filter_odds_table); 0 at the nonresidue code is
+    # the kernel's padding freeze sentinel
+    odds = np.zeros((pb.P, 1, KP_PAD), dtype=np.float32)
+    odds[:, 0, : pb.Kp] = pb.filter_odds
+    nonres = pb.profiles[0].alphabet.nonresidue_code
+    odds[:, 0, nonres] = 0.0
+    out = {"cost": jnp.asarray(cost), "scal": jnp.asarray(scal),
+           "odds": jnp.asarray(odds)}
     pb._device_cache["msvp"] = out
     return out
 
@@ -199,8 +257,9 @@ def msv_scores_pallas(pb, codes: np.ndarray, lengths: np.ndarray,
     t = build_msv_tensors(pb)
     Bt = _lane_tile(dev.Lmax, dev.Bpad)
     R = _strip_r(t["cost"].shape[1], Bt)
-    dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
-                          t["scal"], dev.tile_bounds(R, Bt), R, Bt)
+    dx, ovf, _ = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
+                             t["scal"], dev.tile_bounds(R, Bt),
+                             t["odds"], dev.p1_row, R, Bt)
     from .quantize import tjb_units
     usc = ((np.asarray(dx, np.float64)[:, :B]
             - tjb_units(np.maximum(lengths, 1))[None, :])

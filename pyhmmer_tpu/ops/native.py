@@ -56,9 +56,10 @@ def _load_checked() -> ctypes.CDLL:
     """Load the library and probe the newest ABI symbol so a stale
     binary raises instead of failing later."""
     lib = ctypes.CDLL(_LIB)
-    lib.hmmdp_viterbi        # newest entry point; AttributeError if stale
+    lib.hmmdp_viterbi
     lib.hmmdp_core_new
     lib.hmmdp_bias_filter_idx
+    lib.hmmdp_phase_get      # newest entry point; AttributeError if stale
     return lib
 
 
@@ -177,6 +178,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _D, _D, _D, _D, _D, _D, _D, _D,
         _D, _D, _D, _D, _D, _D, _I32, _I32]
     lib.hmmdp_viterbi.restype = ctypes.c_double
+    lib.hmmdp_phase_get.argtypes = [_D]
+    lib.hmmdp_phase_get.restype = None
+    lib.hmmdp_phase_reset.argtypes = []
+    lib.hmmdp_phase_reset.restype = None
     _lib = lib
     return _lib
 
@@ -598,23 +603,20 @@ PHASE_LABELS = ("full_fwd", "full_bck", "decode_regions", "env_fwdbck",
 
 
 def phase_times() -> Optional[np.ndarray]:
-    """Cumulative per-phase wall seconds spent inside hmmdp_domaindef
-    (diagnostic; see ``hmmdp_phase_s`` in csrc/hmmdp.cpp)."""
+    """Cumulative per-phase wall seconds spent inside hmmdp_domaindef,
+    summed over all worker threads (the native side accumulates
+    thread_local and sums under a mutex on read, so concurrent
+    domaindef calls cannot lose updates)."""
     lib = get_lib()
     if lib is None:
         return None
-    arr = ctypes.cast(ctypes.addressof(
-        ctypes.c_double.in_dll(lib, "hmmdp_phase_s")),
-        ctypes.POINTER(ctypes.c_double * 8)).contents
-    return np.array(arr, dtype=np.float64)
+    out = np.zeros(8, dtype=np.float64)
+    lib.hmmdp_phase_get(out)
+    return out
 
 
 def phase_reset() -> None:
     lib = get_lib()
     if lib is None:
         return
-    arr = ctypes.cast(ctypes.addressof(
-        ctypes.c_double.in_dll(lib, "hmmdp_phase_s")),
-        ctypes.POINTER(ctypes.c_double * 8)).contents
-    for i in range(8):
-        arr[i] = 0.0
+    lib.hmmdp_phase_reset()

@@ -135,8 +135,14 @@ def _vit_pallas(lens, codes_t, msc, isc, tr, lm, bnd):
     per-lane-tile row bounds.  Returns Viterbi scores [P, B] f32 (nats)."""
     P, Mp, _ = msc.shape
     L, B = codes_t.shape
-    Bt = min(B, 256)
-    grid = (P, B // Bt)
+    # the lane tile is fixed by the caller's per-tile bounds row: bnd has
+    # one entry per tile, so Bt = B // nBt.  (Deriving it independently
+    # here once dropped every lane past the first tile when B was not a
+    # multiple of the guessed tile width.)
+    nBt = bnd.shape[1]
+    Bt = B // nBt
+    assert Bt * nBt == B, (B, nBt)
+    grid = (P, nBt)
     out = pl.pallas_call(
         _vit_body,
         grid=grid,

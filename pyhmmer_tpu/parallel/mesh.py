@@ -157,21 +157,33 @@ def residue_balanced_chunks(targets, n_chunks: int):
 
 
 def sharded_search(queries, targets, n_shards: Optional[int] = None,
-                   engine_factory=None, devices=None, **options):
+                   engine_factory=None, devices=None,
+                   concurrent: bool = True, **options):
     """Data-parallel hmmsearch over the device set: targets split
     residue-balanced into ``n_shards`` chunks, one ``SearchEngine`` per
     chunk PINNED to its own device (``jax.default_device``), partial
     ``TopHits`` merged with the reference's contract (concatenate, sum
-    auto-Z, re-threshold -- ``TopHits.merge``).  Kernel dispatch is
-    asynchronous, so the per-device cascades overlap across chips; the
-    merged output is hit-for-hit identical to a single-shot search (the
-    reference asserts the same through its reverse-dispatcher test
-    matrix, ``test_hmmer.py:240-370``; pinned here by
-    ``tests/test_apps.py`` on the virtual 8-device CPU mesh and by
-    ``__graft_entry__.dryrun_multichip``).
+    auto-Z, re-threshold -- ``TopHits.merge``).
+
+    Shards run on one **thread per shard** (the TPU analog of the
+    reference's concurrent target-parallel workers,
+    ``hmmer/_hmmsearch.py:115-289``): each engine's device dispatch is
+    asynchronous and its blocking fetches plus the native domaindef pool
+    release the GIL, so shard k+1's device cascade genuinely overlaps
+    shard k's host postprocessing instead of waiting for its full
+    search to return.  The merged output is hit-for-hit identical to a
+    single-shot search (pinned by ``tests/test_apps.py`` on the virtual
+    8-device CPU mesh and by ``__graft_entry__.dryrun_multichip``).
+
+    Per-shard wall times and the achieved overlap factor
+    ``sum(per-shard wall) / total wall`` are left in
+    ``sharded_search.last_stats`` after each call.
 
     Returns one merged ``TopHits`` per query, in query order.
     """
+    import concurrent.futures as _cf
+    import time as _time
+
     from ..easel.sequence import DigitalSequenceBlock
     from ..engine import SearchEngine
 
@@ -182,16 +194,50 @@ def sharded_search(queries, targets, n_shards: Optional[int] = None,
     n_shards = n_shards or max(1, len(devices))
     chunks = residue_balanced_chunks(targets, n_shards)
     alphabet = queries[0].alphabet
+    # one host-wide native worker pool shared by every shard engine
+    # (per-engine pools would oversubscribe the host cores)
+    import os as _os
+    shared_pool = _cf.ThreadPoolExecutor(
+        int(_os.environ.get("PYHMMER_TPU_THREADS", "0"))
+        or max(2, _os.cpu_count() or 2))
     if engine_factory is None:
         def engine_factory(device):
-            return SearchEngine(alphabet, device=device, **options)
+            return SearchEngine(alphabet, device=device,
+                                shared_executor=shared_pool, **options)
 
-    partials = []   # [shard][query] -> TopHits
+    # engines + shard blocks built up front (model-cache warm-up happens
+    # inside each engine's first search, on its own thread)
+    shard_jobs = []
     for si, chunk in enumerate(chunks):
         block = DigitalSequenceBlock(targets.alphabet,
                                      (targets[i] for i in chunk))
-        eng = engine_factory(devices[si % len(devices)])
-        partials.append(eng.search(queries, block))
+        shard_jobs.append((engine_factory(devices[si % len(devices)]),
+                           block))
+
+    walls = [0.0] * len(shard_jobs)
+
+    def _run(si):
+        eng, block = shard_jobs[si]
+        t0 = _time.time()
+        out = eng.search(queries, block)
+        walls[si] = _time.time() - t0
+        return out
+
+    t_total = _time.time()
+    if concurrent and len(shard_jobs) > 1:
+        with _cf.ThreadPoolExecutor(len(shard_jobs)) as ex:
+            partials = list(ex.map(_run, range(len(shard_jobs))))
+    else:
+        partials = [_run(si) for si in range(len(shard_jobs))]
+    total_wall = _time.time() - t_total
+    shared_pool.shutdown()
+
+    sharded_search.last_stats = {
+        "n_shards": len(shard_jobs),
+        "shard_walls": [round(w, 4) for w in walls],
+        "total_wall": round(total_wall, 4),
+        "overlap_factor": round(sum(walls) / max(total_wall, 1e-9), 3),
+    }
 
     merged = []
     for qi in range(len(queries)):

@@ -44,6 +44,9 @@ from ..ops.quantize import quantize_msv
 
 __all__ = ["LongTargetsPipeline", "compute_max_length"]
 
+#: one-shot flag so an unavailable device path warns once, not per batch
+_DEVICE_GATE_WARNED = False
+
 DEFAULT_LONG_F1 = 0.02
 DEFAULT_LONG_F2 = 3e-3
 DEFAULT_LONG_F3 = 3e-5
@@ -408,10 +411,24 @@ class LongTargetsPipeline(Pipeline):
             import jax
             use_device = jax.default_backend() not in ("cpu",)
         if use_device:
-            try:
+            if dev_env == "force":
+                # forced (tests/CI): let kernel bugs surface instead of
+                # silently falling back to the host path
                 usc_batch, vit_pre, fwd_pre = self._device_gates(prof, pend)
-            except Exception:
-                usc_batch = None    # device path unavailable: host gates
+            else:
+                try:
+                    usc_batch, vit_pre, fwd_pre = self._device_gates(
+                        prof, pend)
+                except Exception as exc:   # device unavailable: host gates
+                    global _DEVICE_GATE_WARNED
+                    if not _DEVICE_GATE_WARNED:
+                        _DEVICE_GATE_WARNED = True
+                        import warnings
+                        warnings.warn(
+                            "nhmmer device gating failed (%s: %s); "
+                            "falling back to the host filter path"
+                            % (type(exc).__name__, exc), RuntimeWarning)
+                    usc_batch = None
 
         for j, job in enumerate(pend):
             sub = job["sub"]
@@ -512,10 +529,14 @@ class LongTargetsPipeline(Pipeline):
             prof._lt_device_cache = (prof.M, pb)
         else:
             pb = key[1]
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      or _os.environ.get("PYHMMER_TPU_PALLAS_INTERPRET",
+                                         "0") == "1")
 
         lens = np.array([len(j["sub"]) for j in pend], dtype=np.int64)
-        Lmax = int(lens.max())
+        # pad Lmax to a multiple of 64 so the strip packing (L % R == 0)
+        # and lane-tile bounds divide evenly for any subwindow mix
+        Lmax = B.round_up(int(lens.max()), 64)
         fill = self.alphabet.nonresidue_code
         codes = np.full((len(pend), Lmax), fill, dtype=np.uint8)
         for r, j in enumerate(pend):
@@ -539,7 +560,11 @@ class LongTargetsPipeline(Pipeline):
         if use_pallas:
             from ..ops import vit_pallas as VP, fwd_pallas as FP
             from ..ops.msv_pallas import _lane_tile
-            Bt = min(dev.Bpad, 256)
+            # largest power-of-two lane tile <= 256 that divides Bpad:
+            # SeqDevice pads B to a multiple of 128, so Bpad can be 384,
+            # 640, ... where 256 does not divide and the survivor-gather
+            # reshape would fail at trace time
+            Bt = 256 if dev.Bpad % 256 == 0 else 128
             codes_t, lens_r, lm, bnd = _gather_survivors(
                 dev.codes_t, dev.lens_d, jnp.asarray(ridx), Bt)
             tv = VP.build_vit_tensors(pb)

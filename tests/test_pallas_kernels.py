@@ -75,10 +75,26 @@ def test_msv_pallas_matches_fallback(setup):
     t = build_msv_tensors(pb)
     Bt = 128                                   # force 2 lane tiles
     R = _strip_r(t["cost"].shape[1], Bt)
-    dx, ovf = _msv_pallas(dev.strips(R, Bt), t["cost"], dev.tjb_row,
-                          t["scal"], dev.tile_bounds(R, Bt), R, Bt)
+    dx, ovf, biaslog = _msv_pallas(dev.strips(R, Bt), t["cost"],
+                                   dev.tjb_row, t["scal"],
+                                   dev.tile_bounds(R, Bt), t["odds"],
+                                   dev.p1_row, R, Bt)
     dx = np.asarray(dx)[:, : dev.B]
     ovf = np.asarray(ovf)[:, : dev.B]
+
+    # the fused f32 bias-filter scores must sit far inside the engine's
+    # length-scaled recheck margin (2e-3 + 1e-6 L nats) of the exact f64
+    # host filter for every (profile, lane) pair
+    from pyhmmer_tpu.ops import native
+    biaslog = np.asarray(biaslog)[:, : dev.B].astype(np.float64)
+    for pi in range(pb.P):
+        exact = native.bias_filter_batch(
+            pb.filter_odds[pi].astype(np.float64), codes, lengths)
+        if exact is None:
+            pytest.skip("native library unavailable")
+        err = np.abs(biaslog[pi] - exact)
+        margin = 2e-3 + 1e-6 * np.maximum(lengths, 1)
+        assert (err < 0.25 * margin).all(), (pi, err.max())
 
     from pyhmmer_tpu.ops.batch import _msv_kernel
     dx2, ovf2 = _msv_kernel(
