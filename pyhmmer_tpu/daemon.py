@@ -188,15 +188,17 @@ def _deserialize_alignment(r: _Reader) -> Optional[Alignment]:
     )
 
 
-def _serialize_domain(d: Domain) -> bytes:
+def _serialize_domain(d: Domain, dp: bool = False) -> bytes:
     # fields per include/libhmmer/p7_domain.pxd:10-27 (scores in nats on
-    # the wire, matching the C struct's envsc/domcorrection/dombias)
+    # the wire, matching the C struct's envsc/domcorrection/dombias).
+    # dp=True stores the score block as float64 (the multihost record
+    # exchange needs bit-exact merges; the hmmpgmd wire stays float32).
     out = struct.pack(
         ">4q",
         d.env_from, d.env_to, d.ali_from, d.ali_to,
     )
     out += struct.pack(
-        ">5f",
+        ">5d" if dp else ">5f",
         d.envelope_score * LOG2, d.correction * LOG2, d.bias * LOG2,
         d.oasc if d.oasc is not None else 0.0,
         d.score,
@@ -206,9 +208,9 @@ def _serialize_domain(d: Domain) -> bytes:
     return out
 
 
-def _deserialize_domain(hit: Hit, r: _Reader) -> Domain:
+def _deserialize_domain(hit: Hit, r: _Reader, dp: bool = False) -> Domain:
     ienv, jenv, iali, jali = r.take(">4q")
-    envsc, corr, bias, oasc, bitscore = r.take(">5f")
+    envsc, corr, bias, oasc, bitscore = r.take(">5d" if dp else ">5f")
     lnP, is_rep, is_inc = r.take(">d2B")
     ad = _deserialize_alignment(r)
     d = Domain(
@@ -219,10 +221,11 @@ def _deserialize_domain(hit: Hit, r: _Reader) -> Domain:
     return d
 
 
-def _serialize_hit(h: Hit) -> bytes:
+def _serialize_hit(h: Hit, dp: bool = False) -> bytes:
     # fields per include/libhmmer/p7_hit.pxd:28-57
     body = struct.pack(
-        ">id3f3d", 0, -h.score, h.score, h.pre_score, h.sum_score,
+        ">id6d" if dp else ">id3f3d",
+        0, -h.score, h.score, h.pre_score, h.sum_score,
         h.lnP, h.lnP, h.lnP,
     )
     body += struct.pack(
@@ -240,13 +243,14 @@ def _serialize_hit(h: Hit) -> bytes:
     body += struct.pack(">B", present)
     body += _pack_cstring(h.name) + _pack_cstring(h.accession) + _pack_cstring(h.description)
     for d in h.domains:
-        body += _serialize_domain(d)
+        body += _serialize_domain(d, dp)
     return struct.pack(">I", len(body) + 4) + body
 
 
-def _deserialize_hit(th: TopHits, r: _Reader) -> Hit:
+def _deserialize_hit(th: TopHits, r: _Reader, dp: bool = False) -> Hit:
     (_size,) = r.take(">I")
-    _wl, _sortkey, score, pre, sums, lnP, _plnP, _slnP = r.take(">id3f3d")
+    _wl, _sortkey, score, pre, sums, lnP, _plnP, _slnP = r.take(
+        ">id6d" if dp else ">id3f3d")
     nexpected, nregions, nclustered, noverlaps, nenvelopes, ndom, length = r.take(">f6i")
     flags, nreported, nincluded, best = r.take(">I3i")
     (present,) = r.take(">B")
@@ -260,7 +264,7 @@ def _deserialize_hit(th: TopHits, r: _Reader) -> Hit:
     h.flags = flags
     h.best_domain_idx = best
     for _ in range(ndom):
-        h.domains.append(_deserialize_domain(h, r))
+        h.domains.append(_deserialize_domain(h, r, dp))
     return h
 
 

@@ -195,6 +195,18 @@ def _gather_rows_dev(dev: "B.SeqDevice", ridx_dev):
                                  dev.move, ridx_dev)
 
 
+def _pt_bounds(need: np.ndarray, lens_sel: np.ndarray, P: int, Bp: int,
+               Bt: int, R: int) -> np.ndarray:
+    """Per-(profile, lane-tile) scan bounds [P, Bp/Bt] int32 for the
+    survivor kernels: tile t of profile p runs ``ceil(max needed len /
+    R)`` grid rows, 0 (skipped) when p needs no lane of t."""
+    Preal, n = need.shape
+    lp = np.zeros((P, Bp), dtype=np.int64)
+    lp[:Preal, :n] = np.where(need, lens_sel[None, :], 0)
+    tmax = lp.reshape(P, Bp // Bt, Bt).max(axis=2)
+    return ((tmax + R - 1) // R).astype(np.int32)
+
+
 class _ChunkState:
     """Per-chunk (stack of <= p_max same-Mp profiles) search state.
 
@@ -349,20 +361,34 @@ class SearchEngine:
                           - Lb * np.log(p1) - np.log(1.0 - p1))
         return out
 
-    def _forward_dev(self, pb, dev, ridx_dev, n):
+    def _forward_dev(self, pb, dev, ridx_dev, n, need=None, lens_sel=None):
         """Forward scores for gathered survivor lanes.  ``ridx_dev`` is a
         device int32 row (-1 padded) -- uploaded in ONE batch for the whole
         stage by the caller: per-job uploads each cost a full round trip
-        on tunneled TPU setups and dominated stage time."""
-        if self.use_pallas:
+        on tunneled TPU setups and dominated stage time.
+
+        ``need``/``lens_sel`` (host arrays [Preal, n] / [n]) tighten the
+        scan bounds per (profile, lane-tile): survivor columns are packed
+        across profiles, so a given profile typically needs only a
+        fraction of them -- (p, tile) cells holding none of p's
+        survivors are skipped entirely and the rest stop at p's longest
+        needed lane instead of the tile's."""
+        # very large models blow the 16 MB scoped-VMEM budget in the v2
+        # kernel (the [Mp, Mp] DD-transfer block + double buffering);
+        # such chunks are rare and small, so they take the XLA scan
+        # kernel instead of shrinking everyone else's tiles
+        if self.use_pallas and pb.Mp <= 768:
             from .ops import fwd_pallas as FP
             from .ops.msv_pallas import _lane_tile
             t = FP.build_fwd_tensors2(pb)
             Bp = int(ridx_dev.shape[0])
-            Bt = _lane_tile(dev.Lmax, Bp)
+            Bt = min(128, _lane_tile(dev.Lmax, Bp))
             R = FP._strip_r_fwd(t["Mp"], Bt)
             strips, lens, lm, bnd = _gather_survivors_strips(
                 dev.codes_t, dev.lens_d, ridx_dev, R, Bt)
+            if need is not None:
+                bnd = jnp.asarray(_pt_bounds(need, lens_sel, pb.P, Bp,
+                                             Bt, R))
             out = FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
                                   t["etr2"], t["sdd"], lm, bnd, R, Bt)
             return out, n
@@ -376,12 +402,16 @@ class SearchEngine:
             xEj, xEj, loop, move, pb.Kp)
         return out, n
 
-    def _viterbi_dev(self, pb, dev, ridx_dev, n):
+    def _viterbi_dev(self, pb, dev, ridx_dev, n, need=None, lens_sel=None):
         if self.use_pallas:
             from .ops import vit_pallas as VP
-            Bt = min(int(ridx_dev.shape[0]), 256)
+            Bt = min(int(ridx_dev.shape[0]), 128)
             codes_t, lens, lm, bnd = _gather_survivors(
                 dev.codes_t, dev.lens_d, ridx_dev, Bt)
+            if need is not None:
+                Bp = int(ridx_dev.shape[0])
+                bnd = jnp.asarray(_pt_bounds(need, lens_sel, pb.P, Bp,
+                                             Bt, 1))
             t = VP.build_vit_tensors(pb)
             out = VP._vit_pallas(lens, codes_t, t["msc"], t["isc"],
                                  t["tr"], lm, bnd)
@@ -743,7 +773,9 @@ class SearchEngine:
             ridx = np.full(Bp, -1, dtype=np.int32)
             ridx[:n] = c["bsel"]
             fsc_dev, nsel = self._forward_dev(
-                st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n)
+                st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n,
+                need=c["pass2"][:, c["bsel"]],
+                lens_sel=lengths[c["bsel"]])
             c["nsel"] = nsel
             s2_parts.append(fsc_dev)
             s2_jobs.append((ci, bi))
@@ -796,7 +828,9 @@ class SearchEngine:
                 ridx = np.full(Bp, -1, dtype=np.int32)
                 ridx[:n] = rows
                 vsc_dev, nv = self._viterbi_dev(
-                    st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n)
+                    st.pb, buckets.buckets[bi][3], jnp.asarray(ridx), n,
+                    need=need_vit[:, vcols],
+                    lens_sel=buckets.buckets[bi][2][rows])
                 c["nv"] = nv
                 s3_jobs.append((cj, bi))
                 s3_parts.append(vsc_dev)

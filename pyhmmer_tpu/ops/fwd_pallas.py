@@ -188,7 +188,9 @@ def _fwd_pallas(lens, codes_t, ems, eis, etr, tdd, lm):
 
 def build_fwd_tensors(pb) -> dict:
     """Precompute the per-profile-stack odds tensors for the Pallas
-    Forward kernel from an ``ops.batch.ProfileBatch`` (cached on it)."""
+    Forward kernels (HOST numpy; cached on the ``ProfileBatch``).  The
+    v2 builder uploads the subset it needs -- the [P, Mp, Mp] v1 DD
+    matrix alone would be hundreds of MB of HBM for a big-M stack."""
     if "fwdp" in pb._device_cache:
         return pb._device_cache["fwdp"]
     P, Mp = pb.P, ((pb.Mp + 7) // 8) * 8
@@ -229,10 +231,7 @@ def build_fwd_tensors(pb) -> dict:
         block = np.where(mask, logT, -np.inf)
         tdd[i, : M - 1, 1: M] = xexp(block)
 
-    out = {
-        "ems": jnp.asarray(ems), "eis": jnp.asarray(eis),
-        "etr": jnp.asarray(etr), "tdd": jnp.asarray(tdd), "Mp": Mp,
-    }
+    out = {"ems": ems, "eis": eis, "etr": etr, "tdd": tdd, "Mp": Mp}
     pb._device_cache["fwdp"] = out
     return out
 
@@ -338,10 +337,12 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
 
             prev_m = mrow[...]
             prev_i = irow[...]
+            # bf16 x bf16 -> f32: identical numerics to the previous f32
+            # DEFAULT-precision dot (which rounds operands to bf16)
             ddp = jax.lax.dot_general(
-                sdd, prev_m, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)           # [Mp, Bt]
+                sdd, prev_m.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [Mp, Bt]
             rm = pltpu.roll(prev_m, 1, 0)
             ri = pltpu.roll(prev_i, 1, 0)
             nm = ms * (rm * eMMs + ri * eIMs + ddp + b_ * eBMs)
@@ -387,8 +388,13 @@ def _fwd2_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
 
     # dynamic per-tile bound: every special freezes via the length mask
     # once i >= len, so stopping after the tile's longest sequence is
-    # exact (tails are nonresidue-coded and hold zero emission odds)
-    nS_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], nS)
+    # exact (tails are nonresidue-coded and hold zero emission odds).
+    # With a [P, nBt] bounds matrix the bound is additionally per
+    # PROFILE: a tile holding no survivors of profile p gets bound 0 and
+    # its whole grid step collapses to the (NEGMASS) epilogue -- the
+    # engine packs survivor lanes so most (p, tile) cells are dead.
+    brow = pl.program_id(0) if bnd_ref.shape[0] > 1 else 0
+    nS_b = jnp.minimum(bnd_ref[brow, pl.program_id(1)], nS)
     jax.lax.fori_loop(0, nS_b, strip, 0)
     c_ = spec[1:2, :]
     score = jnp.where(c_ > 0.0,
@@ -454,15 +460,20 @@ def build_fwd_tensors2(pb) -> dict:
         return pb._device_cache["fwdp2"]
     t1 = build_fwd_tensors(pb)
     P, Mp = pb.P, t1["Mp"]
-    etr = np.asarray(t1["etr"]).copy()
-    tdd = np.asarray(t1["tdd"])
+    etr = t1["etr"].copy()
+    tdd = t1["tdd"]
     sdd = np.zeros((P, Mp, Mp), np.float32)
     for i in range(P):
         eDM = etr[i, :, 2]
         sdd[i, :, 1:] = eDM[None, 1:] * tdd[i, :, : Mp - 1]
         etr[i, :, 6] = 1.0 + tdd[i].sum(axis=1)
-    out = dict(t1)
-    out["etr2"] = jnp.asarray(etr)
-    out["sdd"] = jnp.asarray(sdd)
+    # sdd rides the MXU at single-pass bf16 anyway (DEFAULT precision
+    # rounds f32 operands to bf16), so storing it bf16 halves its HBM
+    # footprint and -- critically -- its double-buffered VMEM block,
+    # which at Mp~900 is what blows the 16 MB scoped-VMEM budget
+    out = {"Mp": Mp,
+           "ems": jnp.asarray(t1["ems"]), "eis": jnp.asarray(t1["eis"]),
+           "etr2": jnp.asarray(etr),
+           "sdd": jnp.asarray(sdd, jnp.bfloat16)}
     pb._device_cache["fwdp2"] = out
     return out

@@ -122,8 +122,11 @@ def _vit_body(lens_ref, codes_ref, msc_ref, isc_ref, tr_ref, lm_ref,
         return 0
 
     # dynamic per-tile bound: specials freeze via the length mask once
-    # i >= len, so stopping after the tile's longest sequence is exact
-    nL_b = jnp.minimum(bnd_ref[0, pl.program_id(1)], L)
+    # i >= len, so stopping after the tile's longest sequence is exact.
+    # [P, nBt] bounds additionally skip (profile, tile) cells with no
+    # survivors of that profile (bound 0; see fwd_pallas._fwd2_body)
+    brow = pl.program_id(0) if bnd_ref.shape[0] > 1 else 0
+    nL_b = jnp.minimum(bnd_ref[brow, pl.program_id(1)], L)
     jax.lax.fori_loop(0, nL_b, row, 0)
     out_ref[...] = (spec[3:4, :] + move)[None]
 

@@ -368,46 +368,80 @@ class Builder:
     # --- calibration ---------------------------------------------------------
 
     def calibrate(self, hmm: HMM, background: Background) -> None:
-        """Determine E-value parameters by simulation
-        (``p7_Calibrate``: lambda from relative entropy; MSV/Viterbi
-        Gumbel mu and Forward exponential tau from random-sequence
-        score distributions)."""
-        from ..ops import reference as refops
+        """Determine E-value parameters by simulation (``p7_Calibrate``,
+        ``evalues.c`` role):
+
+        * lambda from the model's mean match relative entropy
+          (``p7_Lambda``: ``log 2 + 1.44 / (M * H)``);
+        * MSV / Viterbi Gumbel mu by ML location fits with that fixed
+          lambda (``p7_MSVMu`` / ``p7_ViterbiMu`` +
+          ``esl_gumbel_FitCompleteLoc``) over ``EmN`` / ``EvN`` random
+          background sequences -- scored with the QUANTIZED MSV filter
+          like the reference (the vectorized filters are what hmmbuild
+          calibrates);
+        * Forward tau from the ML exponential fit of the highest-``Eft``
+          score tail (``p7_Tau`` + ``esl_exp_FitComplete``), shifted so
+          the full-distribution survival matches:
+          ``tau = mu_tail + log(Eft) / lambda``.
+
+        The random-sequence scoring is batched through the engine's
+        device kernels (``ops.batch``) -- on TPU the whole simulation is
+        a handful of kernel launches; reported mu/tau carry the usual
+        +-0.1..0.5-bit simulation sampling noise vs a reference
+        hmmbuild run (different RNG streams; pinned by
+        ``tests/test_calibration.py``)."""
+        from ..ops import batch as OB
+        from .fitting import gumbel_fit_complete_loc, exp_fit_complete
+
         lam = math.log(2.0) + 1.44 / (hmm.M * max(
             hmm.mean_match_relative_entropy(), 0.1))
         rng = np.random.default_rng(self.seed)
-        f = background.residue_frequencies
+        f = np.asarray(background.residue_frequencies, dtype=np.float64)
+        fprob = f / f.sum()
         prof = Profile(hmm.M, hmm.alphabet).configure(hmm, background,
                                                       self.EmL)
+        pb = OB.ProfileBatch([prof], Mp=OB.round_up(hmm.M, 32))
 
-        fprob = np.asarray(f, dtype=np.float64)
-        fprob = fprob / fprob.sum()
-
-        def sample_scores(L, N, fn):
-            out = np.empty(N)
-            prof.reconfig_length(L)
+        def sample_batch(L, N):
+            codes = rng.choice(len(fprob), size=(N, L),
+                               p=fprob).astype(np.uint8)
+            lengths = np.full(N, L, dtype=np.int64)
             nullsc = background.null_one(L)
-            for n in range(N):
-                dsq = rng.choice(len(fprob), size=L, p=fprob).astype(np.uint8)
-                out[n] = (fn(prof, dsq) - nullsc) / math.log(2.0)
-            return out
+            return codes, lengths, nullsc
 
-        # MSV mu: Gumbel location MLE with fixed lambda
-        msv = sample_scores(self.EmL, self.EmN,
-                            lambda p, d: refops.msv_score(p, d))
-        mmu = -math.log(np.exp(-lam * msv).mean()) / lam
-        vit = sample_scores(self.EvL, self.EvN, refops.viterbi_score)
-        vmu = -math.log(np.exp(-lam * vit).mean()) / lam
-        fwd = sample_scores(self.EfL, self.EfN,
-                            lambda p, d: refops.forward(p, d).score)
-        # exponential tail fit on the top Eft mass
+        LOG2 = math.log(2.0)
+        codes, lens, nullsc = sample_batch(self.EmL, self.EmN)
+        msv = (OB.msv_scores(pb, codes, lens)[0] - nullsc) / LOG2
+        mmu = gumbel_fit_complete_loc(msv, lam)
+
+        # ViterbiFilter semantics: the int16 filter approximates the
+        # NN/CC/JJ loop costs as ZERO and subtracts a 3.0-nat constant
+        # (same convention as the quantized MSV filter).  Calibrating
+        # with the true length model instead leaves vmu ~0.5 bits high
+        # vs a reference hmmbuild (validated on the bundled LuxC:
+        # VF-semantics vmu lands on the reference value to within
+        # simulation noise).
+        import jax.numpy as _jnp
+        codes, lens, nullsc = sample_batch(self.EvL, self.EvN)
+        devv = OB.SeqDevice(codes, lens)
+        xEj = np.float32(math.log(0.5))
+        vout = OB._viterbi_kernel(
+            devv.codes, devv.mask_b,
+            *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD", "tDD",
+                       "tBM", "tMI", "tII", "kmask"),
+            xEj, xEj, _jnp.zeros_like(devv.loop), devv.move, pb.Kp)
+        vit = (np.asarray(vout, np.float64)[0] - 3.0 - nullsc) / LOG2
+        vmu = gumbel_fit_complete_loc(vit, lam)
+
+        codes, lens, nullsc = sample_batch(self.EfL, self.EfN)
+        fwd = (OB.forward_scores(pb, codes, lens)[0] - nullsc) / LOG2
         srt = np.sort(fwd)[::-1]
         ntail = max(2, int(round(self.Eft * len(srt))))
-        tail = srt[:ntail]
-        mu_fit = tail.min()
-        # ML exponential rate on the tail is replaced by the calibrated
-        # lambda (HMMER convention); tau shifts so the tail mass is Eft
-        tau = mu_fit + math.log(self.Eft) / lam
+        mu_tail, _tail_lam = exp_fit_complete(srt[:ntail])
+        # HMMER convention: the survival function uses the calibrated
+        # lambda, not the tail's own ML rate; tau shifts the location so
+        # the tail carries exactly Eft of the mass
+        tau = mu_tail + math.log(self.Eft) / lam
         hmm.evparam[:] = [mmu, lam, vmu, lam, tau, lam]
         hmm.flags |= HMMFlags.STATS
 

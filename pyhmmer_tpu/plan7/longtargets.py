@@ -570,14 +570,28 @@ class LongTargetsPipeline(Pipeline):
             tv = VP.build_vit_tensors(pb)
             vit_d = VP._vit_pallas(lens_r, codes_t, tv["msc"], tv["isc"],
                                    tv["tr"], lm, bnd)
-            tf = FP.build_fwd_tensors2(pb)
-            Btf = _lane_tile(dev.Lmax, dev.Bpad)
-            R = FP._strip_r_fwd(tf["Mp"], Btf)
-            strips, lens2, lm2, bnd2 = _gather_survivors_strips(
-                dev.codes_t, dev.lens_d, jnp.asarray(ridx), R, Btf)
-            fwd_d = FP._fwd_pallas2(lens2, strips, tf["ems"], tf["eis"],
-                                    tf["etr2"], tf["sdd"], lm2, bnd2,
-                                    R, Btf)
+            if pb.Mp <= 768:
+                tf = FP.build_fwd_tensors2(pb)
+                Btf = _lane_tile(dev.Lmax, dev.Bpad)
+                R = FP._strip_r_fwd(tf["Mp"], Btf)
+                strips, lens2, lm2, bnd2 = _gather_survivors_strips(
+                    dev.codes_t, dev.lens_d, jnp.asarray(ridx), R, Btf)
+                fwd_d = FP._fwd_pallas2(lens2, strips, tf["ems"],
+                                        tf["eis"], tf["etr2"], tf["sdd"],
+                                        lm2, bnd2, R, Btf)
+            else:
+                # nhmmer-scale models (bmyD M=1203) blow the v2 kernel's
+                # scoped-VMEM budget; the XLA scan kernel handles them
+                from ..engine import _gather_rows_dev
+                from ..ops.batch import _forward_kernel
+                codes_g, mask, loop, move = _gather_rows_dev(
+                    dev, jnp.asarray(ridx))
+                xEj = np.float32(math.log(0.5))
+                fwd_d = _forward_kernel(
+                    codes_g, mask,
+                    *pb.device("msc", "isc", "tMM", "tIM", "tDM", "tMD",
+                               "tDD", "tBM", "tMI", "tII", "kmask"),
+                    xEj, xEj, loop, move, pb.Kp)
             vit_s, fwd_s = _fetch_all([vit_d, fwd_d])
         else:
             from ..engine import _gather_rows_dev
