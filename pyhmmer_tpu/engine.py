@@ -76,7 +76,24 @@ class _Buckets:
         lengths = np.array([len(s) for s in block], dtype=np.int64)
         fill = block.alphabet.nonresidue_code
         self.buckets = []   # (indices[B], codes[B, Lmax], lengths[B], dev)
-        ladder = [512 << (2 * k) for k in range(5)]   # 512 .. 131072
+        # two working levels (1k covers most proteins, 4k the tail):
+        # fewer levels than the old 512..131072 ladder because each
+        # (chunk, level) pair is one kernel launch at ~10 ms fixed cost
+        # on tunneled chips, but not a single level either -- the
+        # 1k-level keeps 512-wide lane tiles (VMEM codes block budget),
+        # and measured row-scan cost rises sharply when most lanes sit
+        # in narrow 128-lane tiles.  Longer targets take the (rare) high
+        # levels, which run the XLA fallback kernels (their whole-length
+        # VMEM codes block would not fit the Pallas budget).
+        # measured (tunneled v5e, Pfam-shaped stack): the 512-rooted
+        # 4x ladder beat every coarser variant tried (single 4096
+        # bucket, 1024/4096 hybrid) -- wide lane tiles on the short
+        # levels matter more than launch count (PARITY_NOTES round 4)
+        L0 = int(os.environ.get("PYHMMER_TPU_L0", "512"))
+        if L0 == 512:
+            ladder = [512, 2048, 8192, 131072]
+        else:
+            ladder = sorted({L0, 4096, 16384, 131072})
         for li, Lmax in enumerate(ladder):
             lo = 0 if li == 0 else ladder[li - 1]
             sel = np.where((lengths > lo if li else lengths >= 1)
@@ -88,7 +105,11 @@ class _Buckets:
             # grading lanes by length turns the bucket's Lmax padding
             # into near-actual row counts
             sel = sel[np.argsort(lengths[sel], kind="stable")]
-            Bcap = max(64, (1 << 22) // Lmax)
+            # lane cap bounds the bucket's HBM codes footprint; one
+            # launch per chunk matters more than per-bucket area, so
+            # the cap is generous (a 4096-wide x 4096-long bucket is
+            # ~67 MB of int32 codes)
+            Bcap = max(64, (1 << 24) // Lmax)
             for s0 in range(0, len(sel), Bcap):
                 idx = sel[s0: s0 + Bcap]
                 Bp = _pad_b(len(idx))
@@ -240,8 +261,12 @@ class _ChunkState:
             # pad the profile stack to a multiple of 8 so kernel P-shapes
             # are shared across chunks without pow2 blowup (the padded
             # grid steps are wasted work: scan kernels are latency-bound
-            # per row, so wide-but-few stacks beat many narrow ones)
-            Ppad = max(8, ((len(chunk) + 7) // 8) * 8)
+            # per row, so wide-but-few stacks beat many narrow ones).
+            # Tiny groups (long-tail Pfam models) pad to 4 instead: at 3
+            # real profiles the jump to 8 wastes more device time than
+            # the extra compile shape costs
+            n_ch = len(chunk)
+            Ppad = 4 if n_ch <= 4 else ((n_ch + 7) // 8) * 8
             profs_padded = profs + [profs[0]] * (Ppad - len(chunk))
             pb = B.ProfileBatch(profs_padded, Mp=Mp)
             ev = np.stack([p.evparam.astype(np.float64) for p in profs])
@@ -275,6 +300,14 @@ class _ChunkState:
         self.F1 = np.array([pli.F1 for pli in self.pipelines])[:, None]
         self.F2 = np.array([pli.F2 for pli in self.pipelines])[:, None]
         self.F3 = np.array([pli.F3 for pli in self.pipelines])[:, None]
+        # threshold form of the dense gates: P(delta/LOG2) <= F
+        # <=> delta >= LOG2 * invsurv(F) -- a compare instead of a
+        # dense double-transcendental gumbel_surv per (pair).  Monotone-
+        # exact up to float rounding at the (measure-zero) boundary.
+        from .plan7.evalues import gumbel_invsurv
+        ev = self.ev
+        self.thr1 = (LOG2 * gumbel_invsurv(
+            self.F1[:, 0], ev[:, 0], ev[:, 1]))[:, None]
 
         self.tophits = []
         for pi, qi in enumerate(chunk):
@@ -324,7 +357,7 @@ class SearchEngine:
         instead): the 2-state scan rides inside the MSV kernel at ~1/Mp
         of its cost, so the bias stage needs no separate device pass and
         the exact f64 host filter only re-checks gate-boundary pairs."""
-        if self.use_pallas:
+        if self.use_pallas and dev.Lmax <= 8192:
             from .ops.msv_pallas import (_msv_pallas, _strip_r,
                                          _lane_tile, build_msv_tensors)
             t = build_msv_tensors(pb)
@@ -334,6 +367,8 @@ class SearchEngine:
                                            dev.tjb_row, t["scal"],
                                            dev.tile_bounds(R, Bt),
                                            t["odds"], dev.p1_row, R, Bt)
+            if os.environ.get("PYHMMER_TPU_FUSED_BIAS", "1") == "0":
+                return dx[:, : dev.B], ovf[:, : dev.B], None  # A/B knob
             return dx[:, : dev.B], ovf[:, : dev.B], biaslog[:, : dev.B]
         from .ops.batch import _msv_kernel
         dx, ovf = _msv_kernel(
@@ -377,7 +412,7 @@ class SearchEngine:
         # kernel (the [Mp, Mp] DD-transfer block + double buffering);
         # such chunks are rare and small, so they take the XLA scan
         # kernel instead of shrinking everyone else's tiles
-        if self.use_pallas and pb.Mp <= 768:
+        if self.use_pallas and pb.Mp <= 768 and dev.Lmax <= 8192:
             from .ops import fwd_pallas as FP
             from .ops.msv_pallas import _lane_tile
             t = FP.build_fwd_tensors2(pb)
@@ -403,7 +438,7 @@ class SearchEngine:
         return out, n
 
     def _viterbi_dev(self, pb, dev, ridx_dev, n, need=None, lens_sel=None):
-        if self.use_pallas:
+        if self.use_pallas and dev.Lmax <= 8192:
             from .ops import vit_pallas as VP
             Bt = min(int(ridx_dev.shape[0]), 128)
             codes_t, lens, lm, bnd = _gather_survivors(
@@ -462,9 +497,19 @@ class SearchEngine:
                 raise ValueError("alphabet mismatch between query and engine")
             Mp = B.round_up(hmm.M, 32)
             groups.setdefault(Mp, []).append(qi)
+        # coalesce small groups at 128 granularity: a 3-profile group
+        # pays the same fixed kernel-launch cost as a 64-profile one,
+        # so long-tail model lengths merge upward (extra Mp padding)
+        # until the launch cost stops dominating
+        gran = int(os.environ.get("PYHMMER_TPU_COALESCE", "32"))
+        coalesced: dict = {}
+        for Mp, qidx in groups.items():
+            key = Mp if len(qidx) >= 32 or gran <= 32 else \
+                B.round_up(Mp, gran)
+            coalesced.setdefault(key, []).extend(qidx)
 
         states: List[_ChunkState] = []
-        for Mp, qidx in sorted(groups.items()):
+        for Mp, qidx in sorted(coalesced.items()):
             for c0 in range(0, len(qidx), self.p_max):
                 states.append(_ChunkState(self, queries,
                                           qidx[c0: c0 + self.p_max], Mp))
@@ -570,18 +615,15 @@ class SearchEngine:
         # -- stage 1 (device): MSV (+ fused bias filter) for every
         # chunk x bucket --
         s1_parts = []
-        s1_pairs = []
-        s1_width = 2
+        s1_pairs = []   # (ci, bi, part_offset, nparts)
         for ci, st in enumerate(states):
             for bi, bucket in enumerate(buckets.buckets):
                 dev = bucket[3]
                 dx, ovf, biaslog = self._msv_dev(st.pb, dev)
-                if biaslog is not None:
-                    s1_parts.extend([dx, ovf, biaslog])
-                    s1_width = 3
-                else:
-                    s1_parts.extend([dx, ovf])
-                s1_pairs.append((ci, bi))
+                parts = [dx, ovf] if biaslog is None else [dx, ovf,
+                                                           biaslog]
+                s1_pairs.append((ci, bi, len(s1_parts), len(parts)))
+                s1_parts.extend(parts)
         _mark("s1_enqueued")
 
         # -- stage 1 (host): MSV gate, then the exact bias filter on the
@@ -635,16 +677,12 @@ class SearchEngine:
 
             valid_b = lengths > 0
             L = np.maximum(lengths.astype(np.float64), 1.0)
-            nullsc = (L * np.log(L / (L + 1.0))
-                      + np.log(1.0 / (L + 1.0)))          # [B]
-            from .ops.quantize import tjb_units
-            usc = ((dx - tjb_units(np.maximum(lengths, 1))
-                    [None, :]) / st.pb.scale_b - 3.0)
+            nullsc = dev.nullsc_host                      # [B]
+            usc = (dx - dev.tjbu_host[None, :]) / st.pb.scale_b - 3.0
             usc[ovf > 0] = np.inf
 
-            P1 = gumbel_surv((usc - nullsc[None, :]) / LOG2,
-                             st.ev[:, 0:1], st.ev[:, 1:2])
-            pass1 = (P1 <= st.F1) & valid_b[None, :]
+            # MSV gate in threshold form (delta >= thr <=> P1 <= F1)
+            pass1 = (usc - nullsc[None, :] >= st.thr1) & valid_b[None, :]
             for pi, pli in enumerate(st.pipelines):
                 pli.n_past_msv += int(pass1[pi].sum())
             if not pass1.any():
@@ -661,10 +699,8 @@ class SearchEngine:
             if biaslog_raw is not None:
                 fsc32 = biaslog_raw[:Preal].astype(np.float64) + nullsc
                 delta = 2e-3 + 1e-6 * L                  # [B] nats
-                P1b_opt = gumbel_surv(
-                    (usc - (fsc32 - delta)) / LOG2,
-                    st.ev[:, 0:1], st.ev[:, 1:2])
-                keep = (P1b_opt <= st.F1) | dev.has_nonres[None, :]
+                keep = ((usc - fsc32 + delta >= st.thr1)
+                        | dev.has_nonres[None, :])
                 for pi, pli in enumerate(st.pipelines):
                     if not pli.bias_filter:
                         keep[pi] = True    # no bias scan needed anyway
@@ -679,17 +715,20 @@ class SearchEngine:
         # fetch the MSV stage in two halves so the first half's host
         # gating (and its bias batches on the pool) overlaps the second
         # half's device kernels
-        w = s1_width
         nh = (len(s1_pairs) + 1) // 2
         for lo, hi in ((0, nh), (nh, len(s1_pairs))):
             if lo >= hi:
                 continue
-            arrs = _fetch_all(s1_parts[w * lo: w * hi])
+            p_lo = s1_pairs[lo][2]
+            p_hi = (s1_pairs[hi][2] if hi < len(s1_pairs)
+                    else len(s1_parts))
+            arrs = _fetch_all(s1_parts[p_lo: p_hi])
             if lo == 0:
                 _mark("s1_fetched")
-            for j, (ci, bi) in enumerate(s1_pairs[lo:hi]):
-                _gate_pair(ci, bi, arrs[w * j], arrs[w * j + 1],
-                           arrs[w * j + 2] if w == 3 else None)
+            for (ci, bi, off, nparts) in s1_pairs[lo:hi]:
+                a = arrs[off - p_lo: off - p_lo + nparts]
+                _gate_pair(ci, bi, a[0], a[1],
+                           a[2] if nparts == 3 else None)
 
         # gate + route in descending survivor count so the densest
         # Forward kernels are enqueued (and later fetched) first -- their

@@ -355,19 +355,17 @@ def hmmalign(hmm: HMM, sequences, *, trim: bool = False,
 
 def hmmpress(hmms, output: Union[str, os.PathLike]) -> int:
     """Press HMMs into a database (``pyhmmer.hmmpress``, reference
-    ``hmmer/_hmmpress.py:10-70``): writes ``.h3m`` (binary models,
-    byte-compatible), ``.h3i`` (SSI index by name, aliased by accession),
-    and ``.h3f``/``.h3p`` companions.
-
-    The ``.h3f``/``.h3p`` members hold this engine's own compact filter
-    tensors rather than the reference's striped SIMD bands (which are
-    hardware-layout-specific); ``.h3m`` carries the complete model, so
-    interoperability with the reference is via ``.h3m``.
-    """
+    ``hmmer/_hmmpress.py:10-70``): writes ``.h3m`` (binary models),
+    ``.h3i`` (SSI index by name, aliased by accession), and the
+    ``.h3f``/``.h3p`` vectorized-profile members in the REFERENCE byte
+    layout (``p7_oprofile_Write``; byte-validated against the bundled
+    golden dbs in ``tests/test_pressed_write.py``), so HMMER and the
+    reference pyhmmer can consume this engine's pressed output
+    directly."""
     from ..easel.ssi import SSIWriter
-    import struct as _struct
     from ..ops.quantize import quantize_msv
     from ..plan7.profile import Profile
+    from ..plan7.pressed import write_h3f_record, write_h3p_record
 
     base = os.fspath(output)
     n = 0
@@ -384,10 +382,9 @@ def hmmpress(hmms, output: Union[str, os.PathLike]) -> int:
             bg = Background(hmm.alphabet)
             prof = Profile(hmm.M, hmm.alphabet).configure(hmm, bg, 400)
             q = quantize_msv(prof)
-            ff.write(_struct.pack("<III", 0x70F11E0F, hmm.M,
-                                  hmm.alphabet.Kp))
-            ff.write(q.cost.astype("<u1").tobytes())
-            fp.write(_struct.pack("<II", 0x70F11E1F, hmm.M))
+            write_h3f_record(ff, hmm, quant=q,
+                             offs=(moff, foff, poff))
+            write_h3p_record(fp, hmm, prof=prof)
             ssi.add_key(hmm.name, fd, moff, foff, hmm.M)
             if hmm.accession:
                 ssi.add_alias(hmm.accession, hmm.name)

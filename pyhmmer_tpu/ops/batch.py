@@ -236,6 +236,13 @@ class SeqDevice:
         else:
             hit = (codes == nonres_code) & mask
             self.has_nonres = hit.any(axis=1)
+        # host-side per-lane constants shared by every profile chunk
+        # that gates against this bucket (recomputing the logs per
+        # chunk x bucket pair was measurable on wide query stacks)
+        self.nullsc_host = (L * np.log(L / (L + 1.0))
+                            + np.log(1.0 / (L + 1.0)))
+        from .quantize import tjb_units
+        self.tjbu_host = tjb_units(np.maximum(lengths, 1))
         scale = 3.0 / np.log(2.0)
         tjb = np.minimum(255, np.rint(-scale * np.log(3.0 / (L + 3.0))))
         self.tjb = jnp.asarray(tjb, jnp.float32)

@@ -48,7 +48,12 @@ def _strip_r(Mp: int, Bt: int) -> int:
     return r
 
 
-def _lane_tile(Lmax: int, Bpad: int, budget: int = 1 << 19) -> int:
+_TILE_BUDGET = int(_os.environ.get("PYHMMER_TPU_TILE_BUDGET",
+                                   str(1 << 19)))
+
+
+def _lane_tile(Lmax: int, Bpad: int, budget: int = 0) -> int:
+    budget = budget or _TILE_BUDGET
     """Lane-tile width for the scan kernels: the widest power-of-two tile
     whose whole-length codes block stays within ``budget`` int32 elements
     (~2 MB VMEM at the default), dividing ``Bpad``, >= 128.  Wider tiles
@@ -137,18 +142,27 @@ def _msv_body(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref, odds_ref,
             mpv[...] = sv
             xb = jnp.maximum(base, xj[...]) - tjb
             # -- bias filter row update ([1, Bt] lane work) --
+            # unnormalized odds accumulate across the strip; the total
+            # mass per row grows by at most the max emission odds (~3),
+            # so renormalizing once per strip (R <= 8 rows, factor
+            # <= 3^8) keeps f32 safely in range while paying the
+            # log/divide only once per strip instead of per row
             ov = ov_all[:, r * Bt: (r + 1) * Bt]
             a0, a1 = st[0:1, :], st[1:2, :]
             upd = ov > 0.0
             first = upd & (st[3:4, :] == 0.0)
-            na0 = jnp.where(first, 0.999, a0 * t00 + a1 * t10)
-            na1 = jnp.where(first, 0.001, a0 * t01 + a1 * t11) * ov
-            ssum = na0 + na1
-            st[0:1, :] = jnp.where(upd, na0 / ssum, a0)
-            st[1:2, :] = jnp.where(upd, na1 / ssum, a1)
-            st[2:3, :] = jnp.where(upd, st[2:3, :] + jnp.log(ssum),
-                                   st[2:3, :])
+            na0 = jnp.where(first, a0 * 0.999, a0 * t00 + a1 * t10)
+            na1 = jnp.where(first, a0 * 0.001, a0 * t01 + a1 * t11) * ov
+            st[0:1, :] = jnp.where(upd, na0, a0)
+            st[1:2, :] = jnp.where(upd, na1, a1)
             st[3:4, :] = jnp.where(upd, 1.0, st[3:4, :])
+        # per-strip renormalization (a0 is 1.0 on never-started lanes)
+        a0, a1 = st[0:1, :], st[1:2, :]
+        ssum = a0 + a1
+        st[2:3, :] = st[2:3, :] + jnp.log(ssum)
+        inv = 1.0 / ssum
+        st[0:1, :] = a0 * inv
+        st[1:2, :] = a1 * inv
         return xb
 
     # dynamic per-tile bound: rows past every lane's length are padding

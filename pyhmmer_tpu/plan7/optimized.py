@@ -206,14 +206,14 @@ class OptimizedProfile:
         return getattr(self._profile, "consensus_structure", None)
 
     def write(self, fh_filter, fh_profile) -> None:
-        """Write the filter and profile parts to two binary handles
-        (``p7_oprofile_Write`` role; hmmpress uses the same layout)."""
-        import struct as _struct
-        q = self.quant
-        fh_filter.write(_struct.pack("<III", 0x70F11E0F, self.M,
-                                     self.alphabet.Kp))
-        fh_filter.write(q.cost.astype("<u1").tobytes())
-        fh_profile.write(_struct.pack("<II", 0x70F11E1F, self.M))
+        """Write the filter and profile parts to two binary handles in
+        the REFERENCE byte layout (``p7_oprofile_Write``,
+        ``plan7.pyx:6480-6486``): the output is readable by HMMER's
+        ``p7_oprofile_ReadMSV``/``ReadRest`` and by
+        ``plan7.pressed``."""
+        from .pressed import write_h3f_record, write_h3p_record
+        write_h3f_record(fh_filter, self._profile, quant=self.quant)
+        write_h3p_record(fh_profile, self._profile, prof=self._profile)
 
     def reconfig_length(self, L: int) -> None:
         self._profile.reconfig_length(L)

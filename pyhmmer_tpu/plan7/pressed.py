@@ -60,7 +60,7 @@ from .background import Background
 
 __all__ = ["MAGIC_H3F", "MAGIC_H3P", "is_reference_pressed",
            "read_h3f_records", "read_h3p_records",
-           "reconstruct_models"]
+           "reconstruct_models", "write_h3f_record", "write_h3p_record"]
 
 MAGIC_H3F = 0xB3E6E6F3
 MAGIC_H3P = 0xB3E6F0F3
@@ -117,6 +117,8 @@ class _Cursor:
         n = self.i32()
         if n < 0:
             return None
+        if n == 0:
+            return b""        # absent: length 0, no bytes follow
         s = self.d[self.off: self.off + n]
         self.off += n + 1
         return s
@@ -350,3 +352,206 @@ def reconstruct_models(path_f, path_p) -> list:
             hmm.set_consensus()
         models.append(hmm)
     return models
+
+
+# ---------------------------------------------------------------------------
+# writers: invert the byte layout above so HMMER / pyhmmer can read the
+# engine's pressed output (p7_oprofile_Write role, plan7.pyx:6480-6486)
+# ---------------------------------------------------------------------------
+
+def _wordify(x, scale_w: float) -> np.ndarray:
+    """int16 Viterbi quantization: round(scale_w * score), -inf (and
+    anything below range) pinned to -32768."""
+    x = np.asarray(x, dtype=np.float64)
+    w = np.where(np.isfinite(x), np.round(scale_w * x), -32768.0)
+    return np.clip(w, -32768, 32767).astype(np.int16)
+
+
+def _stripe16(vals: np.ndarray, nq: int, lanes: int, fill) -> np.ndarray:
+    """Model-order [.., M] -> striped [.., nq, lanes] (position
+    k = q + z*nq + 1 at vector q lane z; out-of-range = fill)."""
+    lead = vals.shape[:-1]
+    M = vals.shape[-1]
+    out = np.full(lead + (nq, lanes), fill, dtype=vals.dtype)
+    for z in range(lanes):
+        ks = np.arange(nq) + z * nq
+        sel = ks < M
+        out[..., sel, z] = vals[..., ks[sel]]
+    return out
+
+
+def _lstring(s: Optional[bytes]) -> bytes:
+    # missing/empty strings are stored as length 0 with NO bytes (per
+    # the golden fixtures: Thioesterase has no accession/description);
+    # present strings carry a trailing NUL not counted in the length
+    s = b"" if s is None else bytes(s)
+    if not s:
+        return struct.pack("<i", 0)
+    return struct.pack("<i", len(s)) + s + b"\x00"
+
+
+def _annot(field: Optional[bytes], M: int) -> bytes:
+    """(M+2)-byte annotation block: [0]=' ', chars 1..M, trailing NUL;
+    all-zero when absent.  Stored fields carry the leading space."""
+    if not field:
+        return b"\x00" * (M + 2)
+    b = bytes(field)
+    if len(b) == M:          # no leading space stored on the HMM
+        b = b" " + b
+    b = b[: M + 1].ljust(M + 1, b" ")
+    return b + b"\x00"
+
+
+def write_h3f_record(fh, hmm, quant=None, offs=(0, 0, 0)) -> None:
+    """Append one reference-layout ``.h3f`` (MSV part) record
+    (``p7_oprofile_Write`` filter member, byte-compatible with
+    ``impl_sse/io.c``)."""
+    from ..ops.quantize import quantize_msv
+    from .profile import Profile
+    from .background import Background
+
+    abc = hmm.alphabet
+    Kp = abc.Kp
+    M = hmm.M
+    if quant is None:
+        prof = Profile(M, abc).configure(hmm, Background(abc), 400,
+                                         multihit=True)
+        quant = quantize_msv(prof)
+    nqb = (M + 15) // 16
+    out = [struct.pack("<I", MAGIC_H3F),
+           struct.pack("<ii", M, int(abc.type)),
+           _lstring(hmm.name),
+           struct.pack("<i", int(getattr(hmm, "max_length", None) or -1)),
+           struct.pack("<3B", quant.tbm_b, quant.tec_b,
+                       int(quant.tjb_b(400))),
+           struct.pack("<f", quant.scale_b),
+           struct.pack("<2B", quant.base_b, quant.bias_b)]
+    # rbv: striped BIASED uint8 costs (padding 255); sbv: the same
+    # unbiased as int8 (clip [-128, 127]) with 17 cyclic wraparound
+    # duplicate vectors appended
+    cost = np.asarray(quant.cost, dtype=np.int32)        # [Kp, M]
+    rbv = _stripe16(cost.astype(np.int32), nqb, 16, 255)  # [Kp, nqb, 16]
+    sbv = np.clip(rbv - int(quant.bias_b), -128, 127).astype(np.int8)
+    wrap = sbv[:, np.arange(nqb + 17) % nqb, :] if nqb else sbv
+    out.append(wrap.astype("<i1").tobytes())
+    out.append(rbv.astype("<u1").tobytes())
+    out.append(np.asarray(hmm.evparam, dtype="<f4")[:6].tobytes())
+    # disk offsets of this record's members: (moff in .h3m, foff in
+    # .h3f, poff in .h3p) as int64 -- zeros for a standalone record
+    out.append(struct.pack("<3q", *offs))
+
+    compo = (np.asarray(hmm.composition, dtype="<f4")
+             if getattr(hmm, "composition", None) is not None
+             else np.zeros(abc.K, dtype="<f4"))
+    out.append(compo[: abc.K].tobytes())
+    out.append(struct.pack("<I", MAGIC_H3F))
+    fh.write(b"".join(out))
+
+
+def write_h3p_record(fh, hmm, prof=None, L: int = 400) -> None:
+    """Append one reference-layout ``.h3p`` (Viterbi/Forward part)
+    record.  Layouts (all validated field-by-field against the bundled
+    golden dbs in ``tests/test_pressed_write.py``):
+
+    * int16 Viterbi block: per-q groups of 7 vectors in slot order
+      {BM, MM, IM, DM, MD, MI, II} followed by nqw DD vectors; slots
+      BM/MM/IM/DM store source node k = q + z*nqw (k=0 invalid for
+      MM/IM/DM), slots MD/MI/II/DD store node k+1; wordify =
+      round(score * 500/ln2) with -32768 sentinels.
+    * xw specials: E = [w(log .5)]*2, N/J/C = [w(log pmove), 0] (the
+      NN/CC/JJ zero-loop filter approximation).
+    * f32 Forward block: same grouping at 4 lanes in exp space.
+    * trailer: cutoff[6], nj, mode, L.
+    """
+    from .profile import Profile
+    from .background import Background
+
+    abc = hmm.alphabet
+    Kp = abc.Kp
+    M = hmm.M
+    if prof is None:
+        prof = Profile(M, abc).configure(hmm, Background(abc), L,
+                                         multihit=True)
+    nqw = (M + 7) // 8
+    nqf = (M + 3) // 4
+    scale_w = 500.0 / np.log(2.0)
+
+    out = [struct.pack("<I", MAGIC_H3P),
+           struct.pack("<ii", M, int(abc.type)),
+           _lstring(hmm.name), _lstring(hmm.accession),
+           _lstring(hmm.description),
+           _annot(getattr(hmm, "reference", None), M),
+           _annot(getattr(hmm, "model_mask", None), M),
+           _annot(getattr(hmm, "consensus_structure", None), M),
+           _annot(getattr(hmm, "consensus", None), M)]
+
+    def col(name, dk):
+        """[M]-wide f64 transition column in slot-k order (k = model
+        node written at stripe position k), NaN out of range."""
+        a = np.asarray(getattr(prof, name), dtype=np.float64)
+        v = np.full(M, np.nan)
+        ks = np.arange(M) + dk
+        sel = ks < len(a)
+        v[sel] = a[ks[sel]]
+        return v
+
+    tBM = col("tBM", 0)
+    tMM, tIM, tDM = col("tMM", 0), col("tIM", 0), col("tDM", 0)
+    for v in (tMM, tIM, tDM):
+        v[0] = np.nan                       # k=0 boundary
+    tMD, tMI, tII = col("tMD", 1), col("tMI", 1), col("tII", 1)
+    tDD = col("tDD", 1)
+    slots = [tBM, tMM, tIM, tDM, tMD, tMI, tII]
+    tw = np.full((nqw, 7, 8), -32768, dtype=np.int16)
+    for si, v in enumerate(slots):
+        tw[:, si, :] = _stripe16(_wordify(v, scale_w), nqw, 8, -32768)
+    out.append(tw.astype("<i2").tobytes())
+    ddw = _stripe16(_wordify(tDD, scale_w), nqw, 8, -32768)
+    out.append(ddw.astype("<i2").tobytes())
+
+    msc = np.asarray(prof.msc, dtype=np.float64)[:, 1:]   # [Kp, M]
+    rwv = _stripe16(_wordify(msc, scale_w), nqw, 8, -32768)
+    out.append(rwv.astype("<i2").tobytes())
+
+    # pmove computed in f32 like the reference (1-ulp byte parity)
+    pmove = float(np.float32(3.0) / np.float32(L + 3.0))
+    w_move = int(np.round(scale_w * np.log(pmove)))
+    w_half = int(np.round(scale_w * np.log(0.5)))
+    xw = np.array([[w_half, w_half]] + [[w_move, 0]] * 3, dtype="<i2")
+    out.append(xw.tobytes())
+    out.append(struct.pack("<f", np.float32(scale_w)))
+    # ddbound_w: max over k of w(DD k) + w(DM k+1) - w(BM k+1)
+    wdd = _wordify(col("tDD", 0), scale_w).astype(np.int32)
+    wdm = _wordify(tDM, scale_w).astype(np.int32)
+    wbm = _wordify(tBM, scale_w).astype(np.int32)
+    ddb = -32768
+    for k in range(1, M - 1):
+        if wdd[k] > -32768 and wdm[k + 1] > -32768 and wbm[k + 1] > -32768:
+            ddb = max(ddb, int(wdd[k]) + int(wdm[k + 1]) - int(wbm[k + 1]))
+    out.append(struct.pack("<hh", 12000, np.clip(ddb, -32768, 32767)))
+    out.append(struct.pack("<f", 0.0))      # ncj_roundoff
+
+    def xexp(a):
+        a = np.asarray(a, np.float64)
+        return np.where(np.isfinite(a),
+                        np.exp(np.minimum(a, 600.0)), 0.0)
+
+    tf = np.zeros((nqf, 7, 4), dtype="<f4")
+    for si, v in enumerate(slots):
+        tf[:, si, :] = _stripe16(xexp(v).astype("<f4"), nqf, 4, 0.0)
+    out.append(tf.tobytes())
+    out.append(_stripe16(xexp(tDD).astype("<f4"), nqf, 4,
+                         0.0).tobytes())
+    out.append(_stripe16(xexp(msc).astype("<f4"), nqf, 4, 0.0).tobytes())
+    pm32 = np.float32(3.0) / np.float32(L + 3.0)
+    xf = np.array([[0.5, 0.5]] + [[pm32, np.float32(1.0) - pm32]] * 3,
+                  dtype="<f4")
+    out.append(xf.tobytes())
+    cut = getattr(hmm, "cutoffs", None)
+    cut = (np.asarray(cut, dtype="<f4")[:6] if cut is not None
+           else np.full(6, -99999.0, dtype="<f4"))
+    out.append(cut.tobytes())
+    out.append(struct.pack("<f", 1.0))      # nj (multihit)
+    out.append(struct.pack("<ii", 1, L))    # mode (p7_LOCAL), L
+    out.append(struct.pack("<I", MAGIC_H3P))
+    fh.write(b"".join(out))

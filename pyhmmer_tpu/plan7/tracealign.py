@@ -142,25 +142,53 @@ def traces_to_msa(hmm: HMM, seqs: Sequence[DigitalSequence],
     return text
 
 
+def _trace_one(hmm: HMM, bg: Background, sq: DigitalSequence) -> Trace:
+    """One sequence's optimal posterior-accuracy trace.  The DP-heavy
+    parts (full-matrix Forward/Backward, optimal-accuracy DP) run in the
+    native library when available; only posterior combination and the
+    traceback stay in NumPy/Python."""
+    from ..ops import native
+
+    L = len(sq)
+    prof = Profile(hmm.M, hmm.alphabet).configure(
+        hmm, bg, L, multihit=False)
+    if native.available():
+        fwd = native.fwdbck(prof, sq.sequence, True, False)
+        bck = native.fwdbck(prof, sq.sequence, True, True)
+    else:
+        fwd = ref.forward(prof, sq.sequence, keep_matrix=True)
+        bck = ref.backward(prof, sq.sequence, keep_matrix=True)
+    pp = ref.posterior_matrices(fwd, bck, prof, sq.sequence)
+    if native.available():
+        oasc, dpm = native.optacc(prof, pp, L)
+    else:
+        oasc, dpm = dd.optimal_accuracy(prof, pp, L)
+    return dd.oa_traceback(prof, pp, dpm, L)
+
+
 class TraceAligner:
     """Align sequences to an HMM (``pyhmmer.plan7.TraceAligner``)."""
 
     def compute_traces(self, hmm: HMM, sequences) -> Traces:
         """Optimal posterior-accuracy traces of each sequence against the
-        model (``p7_tracealign_computeTraces``)."""
+        model (``p7_tracealign_computeTraces``).
+
+        Batch-parallel over the sequence block (the reference fans
+        ``compute_traces`` over a ThreadPool, ``_hmmalign.py:82-93``):
+        each sequence's native DP releases the GIL, so a pool of
+        core-count workers scales the batch; per-task Profile
+        configuration keeps the workers state-free."""
+        import concurrent.futures as _cf
+        import os as _os
+
         bg = Background(hmm.alphabet)
-        traces = Traces()
-        for sq in sequences:
-            L = len(sq)
-            prof = Profile(hmm.M, hmm.alphabet).configure(
-                hmm, bg, L, multihit=False)
-            fwd = ref.forward(prof, sq.sequence, keep_matrix=True)
-            bck = ref.backward(prof, sq.sequence, keep_matrix=True)
-            pp = ref.posterior_matrices(fwd, bck, prof, sq.sequence)
-            oasc, dpm = dd.optimal_accuracy(prof, pp, L)
-            tr = dd.oa_traceback(prof, pp, dpm, L)
-            traces.append(tr)
-        return traces
+        seqs = list(sequences)
+        if len(seqs) >= 4:
+            nthreads = max(2, _os.cpu_count() or 2)
+            with _cf.ThreadPoolExecutor(nthreads) as ex:
+                return Traces(ex.map(
+                    lambda sq: _trace_one(hmm, bg, sq), seqs))
+        return Traces(_trace_one(hmm, bg, sq) for sq in seqs)
 
     def align_traces(self, hmm: HMM, sequences, traces, *,
                      trim: bool = False, digitize: bool = False,
