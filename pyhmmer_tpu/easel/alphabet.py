@@ -183,7 +183,12 @@ class Alphabet:
     # --- conversions --------------------------------------------------------
 
     def encode(self, text: str) -> np.ndarray:
-        """Encode a text sequence into digital codes (uint8 array)."""
+        """Encode a text sequence into digital codes (uint8 array).
+
+        Example:
+            >>> Alphabet.dna().encode("ACGT")
+            array([0, 1, 2, 3], dtype=uint8)
+        """
         raw = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
         codes = self.inmap[raw]
         if (codes == 255).any():
@@ -192,7 +197,13 @@ class Alphabet:
         return codes
 
     def decode(self, codes: np.ndarray) -> str:
-        """Decode digital codes back into a text sequence."""
+        """Decode digital codes back into a text sequence.
+
+        Example:
+            >>> import numpy
+            >>> Alphabet.amino().decode(numpy.array([0, 4, 3], dtype=numpy.uint8))
+            'AFE'
+        """
         return self.outmap[np.asarray(codes, dtype=np.uint8)].tobytes().decode("ascii")
 
     def expect_score_vector(self, sc: np.ndarray, f: np.ndarray) -> np.ndarray:

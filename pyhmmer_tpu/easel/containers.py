@@ -20,7 +20,15 @@ __all__ = [
 
 
 class Bitfield:
-    """A packed boolean vector (``ESL_BITFIELD`` equivalent)."""
+    """A packed boolean vector (``ESL_BITFIELD`` equivalent).
+
+    Example:
+        >>> b = Bitfield([True, False, True])
+        >>> len(b), b.count()
+        (3, 2)
+        >>> b.toggle(1); b.count()
+        3
+    """
 
     def __init__(self, iterable: Iterable[object]):
         self._bits = np.array([bool(x) for x in iterable], dtype=bool)
@@ -81,7 +89,15 @@ class Bitfield:
 
 class KeyHash:
     """An ordered string-to-index mapping (``ESL_KEYHASH`` equivalent;
-    used for hit ranking in jackhmmer)."""
+    used for hit ranking in jackhmmer).
+
+    Example:
+        >>> kh = KeyHash()
+        >>> kh.add(b"first"), kh.add(b"second"), kh.add(b"first")
+        (0, 1, 0)
+        >>> kh[b"second"], len(kh), b"first" in kh
+        (1, 2, True)
+    """
 
     def __init__(self):
         self._map: dict = {}

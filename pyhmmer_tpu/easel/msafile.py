@@ -343,6 +343,29 @@ class MSAFile:
             return msa.digitize(self.alphabet)
         return msa
 
+    # --- SSI-indexed random access (easel.pyx:6848 role) ------------------
+
+    def fetch(self, key: bytes, ssi: Optional[str] = None):
+        """Random access by alignment name/accession through an SSI
+        index (``<file>.ssi`` by default, like ``esl_msafile`` with an
+        open SSI): seeks to the indexed record offset and parses one
+        MSA there.  Requires a path-backed reader."""
+        from .ssi import SSIReader
+
+        if self.name is None:
+            raise ValueError("fetch() needs a path-backed MSAFile")
+        if isinstance(key, str):
+            key = key.encode()
+        path = ssi or (self.name + ".ssi")
+        with SSIReader(path) as rd:
+            fd, roff, doff, L = rd.find_name(key)
+        sub = self._text[roff:]
+        for msa in self._PARSERS[self.format](sub):
+            if self.digital:
+                return msa.digitize(self.alphabet)
+            return msa
+        raise ValueError(f"no alignment found at SSI offset {roff}")
+
     def __iter__(self):
         return self
 

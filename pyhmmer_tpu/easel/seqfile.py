@@ -143,10 +143,16 @@ _MSA_FORMATS = {"stockholm", "pfam", "afa", "a2m", "clustal", "clustallike",
 class SequenceFile:
     """Iterative reader over a sequence file.
 
-    Supports ``format`` in {fasta, embl, genbank, ddbj, uniprot} plus every
-    MSA format (delegated to :class:`~pyhmmer_tpu.easel.msafile.MSAFile`,
-    matching reference behavior ``easel.pyx:158-169``). ``digital=True``
-    yields :class:`DigitalSequence`.
+    Supports ``format`` in {fasta, embl, genbank, ddbj, uniprot, daemon}
+    plus every MSA format (delegated to
+    :class:`~pyhmmer_tpu.easel.msafile.MSAFile`, matching reference
+    behavior ``easel.pyx:158-169``).  ``daemon`` is the hmmpgmd
+    cached-database layout (header line + FASTA records).  The
+    reference's ``ncbi`` (BLAST database) and ``fmindex`` formats are
+    not implemented: both are binary container formats with no test
+    fixtures in the reference suite (its own coverage never exercises
+    them), and ``fmindex`` is explicitly out of scope (SURVEY.md
+    FM-index row).  ``digital=True`` yields :class:`DigitalSequence`.
     """
 
     def __init__(
@@ -239,6 +245,19 @@ class SequenceFile:
         if self.format == "fasta":
             fh = self._open_lines()
             try:
+                yield from _parse_fasta_lines(fh)
+            finally:
+                fh.close()
+        elif self.format in ("daemon", "hmmpgmd"):
+            # hmmpgmd cached-database format (cachedb.c; reference
+            # format list easel.pyx:158-169): one '#'-prefixed header
+            # line with residue/sequence counts, then FASTA records
+            fh = self._open_lines()
+            try:
+                first = fh.readline()
+                if not first.startswith("#"):
+                    raise ValueError(
+                        "daemon format requires a '#' header line")
                 yield from _parse_fasta_lines(fh)
             finally:
                 fh.close()

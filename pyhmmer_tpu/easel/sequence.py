@@ -135,6 +135,17 @@ class TextSequence(Sequence):
         return TextSequence(sequence=self.sequence, **self._meta())
 
     def digitize(self, alphabet: Alphabet) -> "DigitalSequence":
+        """Encode into a :class:`DigitalSequence`.
+
+        Example:
+            >>> from pyhmmer_tpu.easel.alphabet import Alphabet
+            >>> s = TextSequence(name=b"seq1", sequence="ACGT")
+            >>> d = s.digitize(Alphabet.dna())
+            >>> [int(c) for c in d.sequence], d.name
+            ([0, 1, 2, 3], b'seq1')
+            >>> d.textize().sequence
+            'ACGT'
+        """
         return DigitalSequence(
             alphabet, sequence=alphabet.encode(self.sequence), **self._meta()
         )

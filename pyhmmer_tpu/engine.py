@@ -501,7 +501,7 @@ class SearchEngine:
         # pays the same fixed kernel-launch cost as a 64-profile one,
         # so long-tail model lengths merge upward (extra Mp padding)
         # until the launch cost stops dominating
-        gran = int(os.environ.get("PYHMMER_TPU_COALESCE", "32"))
+        gran = int(os.environ.get("PYHMMER_TPU_COALESCE", "128"))
         coalesced: dict = {}
         for Mp, qidx in groups.items():
             key = Mp if len(qidx) >= 32 or gran <= 32 else \

@@ -26,7 +26,17 @@ _AMINO_FREQUENCIES = np.array([
 
 
 class Background:
-    """The null1 background model."""
+    """The null1 background model.
+
+    Example:
+        >>> from pyhmmer_tpu.easel.alphabet import Alphabet
+        >>> bg = Background(Alphabet.amino())
+        >>> round(float(bg.residue_frequencies.sum()), 5)
+        1.0
+        >>> bg.L = 400                      # length model
+        >>> round(float(bg.null_one(400)), 2)   # null1 score, nats
+        -6.99
+    """
 
     def __init__(self, alphabet: Alphabet, uniform: bool = False):
         self.alphabet = alphabet

@@ -91,7 +91,15 @@ def gumbel_fit_complete(x: np.ndarray, tol: float = 1e-6,
 def gumbel_fit_complete_loc(x: np.ndarray, lam: float) -> float:
     """ML Gumbel location with known lambda
     (``esl_gumbel_FitCompleteLoc``):
-    ``mu = -(1/lambda) log( (1/n) sum exp(-lambda x_i) )``."""
+    ``mu = -(1/lambda) log( (1/n) sum exp(-lambda x_i) )``.
+
+    Example:
+        >>> import numpy
+        >>> rng = numpy.random.default_rng(1)
+        >>> x = 2.0 - numpy.log(-numpy.log(rng.uniform(size=8000))) / 0.7
+        >>> round(gumbel_fit_complete_loc(x, 0.7), 1)
+        2.0
+    """
     x = np.asarray(x, dtype=np.float64)
     return float(-np.log(np.exp(-lam * x).mean()) / lam)
 

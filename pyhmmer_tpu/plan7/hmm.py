@@ -333,7 +333,19 @@ class HMM:
 
     @classmethod
     def sample(cls, alphabet: Alphabet, M: int, randomness) -> "HMM":
-        """Sample a random HMM (``p7_hmm_Sample`` analog for tests)."""
+        """Sample a random HMM (``p7_hmm_Sample`` analog for tests).
+
+        Example:
+            >>> import numpy
+            >>> from pyhmmer_tpu.easel.alphabet import Alphabet
+            >>> hmm = HMM.sample(Alphabet.amino(), 20,
+            ...                  numpy.random.default_rng(0))
+            >>> hmm.M
+            20
+            >>> hmm.validate()          # probability rows sum to 1
+            >>> hmm.copy() == hmm
+            True
+        """
         rng = randomness
         hmm = cls(alphabet, M, name=b"sampled-hmm")
         K = alphabet.K

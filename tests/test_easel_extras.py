@@ -246,3 +246,40 @@ def test_msafile_selex(tmp_path):
         msa = f.read()
     assert msa.names == [b"seq1", b"seq2"]
     assert msa.rows == ["ACDE.FGHIK", "ACD-EFGH-K"]
+
+
+def test_msafile_ssi_fetch(data_dir):
+    """SSI-indexed random access on MSAFile (reference easel.pyx:6848
+    role) using the bundled LuxC.sto + .ssi fixture pair."""
+    from pyhmmer_tpu.easel import MSAFile
+
+    with MSAFile(data_dir / "msa" / "LuxC.sto") as f:
+        msa = f.fetch(b"LuxC")
+    assert msa is not None and len(msa.names) == 13
+    with MSAFile(data_dir / "msa" / "LuxC.sto") as f:
+        import pytest
+        with pytest.raises(KeyError):
+            f.fetch(b"nonexistent")
+
+
+def test_daemon_sequence_format(tmp_path):
+    """hmmpgmd cached-database ('daemon') sequence format: '#' header
+    line + FASTA records (reference format list easel.pyx:158-169)."""
+    import io
+    from pyhmmer_tpu.easel import SequenceFile
+
+    p = tmp_path / "cache.fa"
+    p.write_text("#1234 2\n>seq1 first\nACDEFGH\n>seq2 second\n"
+                 "MKLVNNW\n")
+    with SequenceFile(p, format="daemon") as f:
+        seqs = list(f)
+    assert [s.name for s in seqs] == [b"seq1", b"seq2"]
+    assert seqs[0].sequence == "ACDEFGH"
+
+    # missing header line is an error
+    q = tmp_path / "bad.fa"
+    q.write_text(">seq1\nACDEF\n")
+    import pytest
+    with pytest.raises(ValueError):
+        with SequenceFile(q, format="daemon") as f:
+            list(f)
