@@ -76,19 +76,14 @@ class _Buckets:
         lengths = np.array([len(s) for s in block], dtype=np.int64)
         fill = block.alphabet.nonresidue_code
         self.buckets = []   # (indices[B], codes[B, Lmax], lengths[B], dev)
-        # two working levels (1k covers most proteins, 4k the tail):
-        # fewer levels than the old 512..131072 ladder because each
-        # (chunk, level) pair is one kernel launch at ~10 ms fixed cost
-        # on tunneled chips, but not a single level either -- the
-        # 1k-level keeps 512-wide lane tiles (VMEM codes block budget),
-        # and measured row-scan cost rises sharply when most lanes sit
-        # in narrow 128-lane tiles.  Longer targets take the (rare) high
-        # levels, which run the XLA fallback kernels (their whole-length
-        # VMEM codes block would not fit the Pallas budget).
-        # measured (tunneled v5e, Pfam-shaped stack): the 512-rooted
-        # 4x ladder beat every coarser variant tried (single 4096
-        # bucket, 1024/4096 hybrid) -- wide lane tiles on the short
-        # levels matter more than launch count (PARITY_NOTES round 4)
+        # measured (tunneled v5e, Pfam-shaped stack): the 512-rooted 4x
+        # ladder beat every coarser variant tried (single 4096 bucket,
+        # 1024/4096 hybrid) -- wide lane tiles on the short levels
+        # matter more than launch count; launch count is instead
+        # reduced by coalescing small Mp groups (PARITY_NOTES round 4).
+        # Levels above 8192 run the XLA fallback kernels (their
+        # whole-length VMEM codes block would not fit the Pallas
+        # budget).
         L0 = int(os.environ.get("PYHMMER_TPU_L0", "512"))
         if L0 == 512:
             ladder = [512, 2048, 8192, 131072]
