@@ -879,16 +879,14 @@ class SearchEngine:
         # ~0.1 s of extra round trips for ~0.3 s earlier postprocessing)
         ngroup = max(1, (len(s2_parts) + 3) // 4)
         _mark("s1_host_done")
-        if _timing:
-            _tmark["n_s2_jobs"] = len(s2_jobs)
-            _tmark["s2_lanes"] = sum(len(ctx[j]["bsel"]) for j in s2_jobs)
+        _tmark["n_s2_jobs"] = len(s2_jobs)
+        _tmark["s2_lanes"] = sum(len(ctx[j]["bsel"]) for j in s2_jobs)
         for g0 in range(0, len(s2_parts), ngroup):
             group_np = _fetch_all(s2_parts[g0: g0 + ngroup])
             for dj, fsc_raw in enumerate(group_np):
                 _stage2_host(g0 + dj, fsc_raw)
         _mark("s2_done")
-        if _timing:
-            _tmark["n_s3_jobs"] = len(s3_jobs)
+        _tmark["n_s3_jobs"] = len(s3_jobs)
         s3_np = _fetch_all(s3_parts)
         _mark("s3_fetched")
 
