@@ -204,6 +204,26 @@ def _scan_via_engine(hmms, queries, alphabet, background, callback,
     for th in per_hmm:
         by_seq.append({h.name: h for h in th})
 
+    # threshold params are uniform by construction (one options dict
+    # drives every per-model search); enforce it once so a future
+    # per-model option cannot silently inherit model 0's thresholds
+    # (round-3 advisor note)
+    _THRESH_ATTRS = ("E", "domE", "T", "domT", "incE", "incdomE",
+                     "incT", "incdomT", "domZ", "domZ_setby")
+    if per_hmm:
+        check = ["E", "domE", "T", "domT", "incE", "incdomE", "incT",
+                 "incdomT", "domZ_setby"]
+        if per_hmm[0].domZ_setby == "option":
+            check.append("domZ")   # auto domZ legitimately varies
+        for attr in check:
+            v0 = getattr(per_hmm[0], attr)
+            for other in per_hmm[1:]:
+                if getattr(other, attr) != v0:
+                    raise ValueError(
+                        f"non-uniform per-model threshold {attr!r} in "
+                        "hmmscan transpose; per-model options are not "
+                        "supported by the engine route")
+
     out = []
     nres_db = sum(h.M for h in hmms)
     for q in queries:
@@ -221,8 +241,7 @@ def _scan_via_engine(hmms, queries, alphabet, background, callback,
         th.Z_setby = "ntargets"
         src = per_hmm[0] if per_hmm else None
         if src is not None:
-            for attr in ("E", "domE", "T", "domT", "incE", "incdomE",
-                         "incT", "incdomT", "domZ", "domZ_setby"):
+            for attr in _THRESH_ATTRS:
                 setattr(th, attr, getattr(src, attr))
         for mi, hmm in enumerate(hmms):
             h = by_seq[mi].get(q.name)

@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import batch as B
 
-__all__ = ["make_mesh", "ShardedCascade"]
+__all__ = ["make_mesh", "ShardedCascade", "sharded_search",
+           "sharded_nhmmer", "residue_balanced_chunks"]
 
 
 def make_mesh(n_model: int = 1, n_data: Optional[int] = None,
@@ -243,4 +244,132 @@ def sharded_search(queries, targets, n_shards: Optional[int] = None,
     for qi in range(len(queries)):
         first = partials[0][qi]
         merged.append(first.merge(*(p[qi] for p in partials[1:])))
+    return merged
+
+
+def sharded_nhmmer(query, targets, n_shards: Optional[int] = None,
+                   devices=None, concurrent: bool = True, **options):
+    """Sequence-length-parallel nhmmer: the reference's window dimension
+    (``LongTargetsPipeline`` windows, SURVEY.md section 2.6
+    sequence-parallel row) sharded across devices.
+
+    Long targets are cut into residue-balanced contiguous slices with a
+    ``max_length``-residue halo (any reportable hit fits entirely inside
+    one slice, the same guarantee the in-pipeline W/C window overlap
+    provides); one pipeline per shard runs on its own thread pinned to
+    its own device; per-slice hit coordinates are shifted back to
+    global positions and cross-slice duplicates from the halo are
+    removed with the best-E-value rule (``p7_tophits_RemoveDuplicates``)
+    exactly like cross-window duplicates inside one pipeline.  E-values
+    are computed against the GLOBAL residue count (each shard gets the
+    total as a manual Z), so the merged output matches the single-shot
+    search.
+
+    Returns one merged ``TopHits`` for the query.
+    """
+    import concurrent.futures as _cf
+
+    from ..easel.sequence import DigitalSequence, DigitalSequenceBlock
+    from ..plan7.longtargets import (LongTargetsPipeline,
+                                     compute_max_length,
+                                     _remove_duplicates)
+    from ..plan7.results import TopHits
+
+    targets = list(targets)
+    devices = list(devices) if devices is not None else jax.devices()
+    n_shards = n_shards or max(1, len(devices))
+    C = options.get("window_length") or compute_max_length(
+        query, options.get("window_beta") or 7e-5)
+    total = sum(len(s) for s in targets)
+    stride = max(C + 1, -(-total // n_shards))
+
+    # build per-shard slice lists [(global_start0, full_len, sub)] --
+    # slices overlap by C residues so boundary hits appear (and are
+    # deduplicated) in exactly one or two shards.  Each slice's global
+    # offset rides in its name ("name//offset") so hits map back
+    # unambiguously; the original name is restored after the shift.
+    shards = [[] for _ in range(n_shards)]
+    si = 0
+    for t, sq in enumerate(targets):
+        L = len(sq)
+        a = 0
+        while a < L:
+            b = min(L, a + stride + C)
+            sub = DigitalSequence(
+                sq.alphabet, name=sq.name + b"//%d" % a,
+                accession=sq.accession, description=sq.description,
+                sequence=sq.sequence[a: b])
+            shards[si % n_shards].append((a, L, sub))
+            si += 1
+            if b >= L:
+                break
+            a += stride
+
+    # each shard computes E-values over the GLOBAL residue count
+    opts = dict(options)
+    opts["Z"] = total / 1e6
+
+    def _run(k):
+        chunk = shards[k]
+        if not chunk:
+            return None
+        pli = LongTargetsPipeline(query.alphabet, **opts)
+        block = DigitalSequenceBlock(query.alphabet,
+                                     [e[2] for e in chunk])
+        with jax.default_device(devices[k % len(devices)]):
+            th = pli.search_hmm(query, block)
+        return (chunk, th, pli)
+
+    if concurrent and n_shards > 1:
+        with _cf.ThreadPoolExecutor(n_shards) as ex:
+            runs = list(ex.map(_run, range(n_shards)))
+    else:
+        runs = [_run(k) for k in range(n_shards)]
+
+    merged = TopHits()
+    merged.query_name = query.name
+    merged.query_accession = query.accession or None
+    merged.query_length = query.M
+    merged._mode = "search"
+    merged.long_targets = True
+    by_tag = {e[2].name: (e[0], e[1]) for sh in shards for e in sh}
+    first = True
+    for run in runs:
+        if run is None:
+            continue
+        chunk, th, pli = run
+        for h in th.hits:
+            a0, Lfull = by_tag[h.name]
+            h.name = h.name.rsplit(b"//", 1)[0]
+            h.length = Lfull
+            for d in h.domains:
+                d.env_from += a0
+                d.env_to += a0
+                d.ali_from += a0
+                d.ali_to += a0
+                if d.alignment is not None:
+                    d.alignment.target_from += a0
+                    d.alignment.target_to += a0
+                    d.alignment.target_length = Lfull
+                    d.alignment.target_name = h.name
+            h.hits = merged
+            merged.hits.append(h)
+        if first:
+            merged._take_accounting(pli)
+            first = False
+        else:
+            merged.nseqs += pli.nseqs
+            merged.nres += pli.nres
+            merged.n_past_msv += pli.n_past_msv
+            merged.n_past_bias += pli.n_past_bias
+            merged.n_past_vit += pli.n_past_vit
+            merged.n_past_fwd += pli.n_past_fwd
+        merged.bit_cutoffs = pli.bit_cutoffs
+    merged.nseqs = len(targets)
+    merged.Z = merged.domZ = 1.0
+    merged.Z_setby = merged.domZ_setby = "option"
+    merged.sort_by_seqidx()
+    _remove_duplicates(merged)
+    merged.sort_by_key()
+    merged.threshold()
     return merged
