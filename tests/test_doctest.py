@@ -13,6 +13,7 @@ MODULES = [
     "pyhmmer_tpu.plan7.background",
     "pyhmmer_tpu.plan7.fitting",
     "pyhmmer_tpu.plan7.evalues",
+    "pyhmmer_tpu.utils",
 ]
 
 
