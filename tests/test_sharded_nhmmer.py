@@ -43,3 +43,31 @@ def test_sharded_nhmmer_matches_single(data_dir):
         d = h.best_domain
         assert d.alignment.target_length == len(sl)
         assert 1 <= min(d.ali_from, d.ali_to) <= len(sl)
+
+
+def test_sharded_nhmmer_multiple_targets(data_dir):
+    """Slicing across several targets (the shard list interleaves
+    slices of different sequences)."""
+    with HMMFile(data_dir / "hmms" / "txt" / "bmyD.hmm") as f:
+        bmyd = f.read()
+    with SequenceFile(
+            data_dir / "seqs" / "1390.SAMEA104415756.OFHT01000022.fna",
+            digital=True, alphabet=bmyd.alphabet) as f:
+        genome = f.read_block()
+    seq = genome[0].sequence
+    a = DigitalSequence(bmyd.alphabet, name=b"ctgA",
+                        sequence=seq[150_000:220_000])
+    b = DigitalSequence(bmyd.alphabet, name=b"ctgB",
+                        sequence=seq[300_000:330_000])
+    block = DigitalSequenceBlock(bmyd.alphabet, [a, b])
+
+    single = LongTargetsPipeline(bmyd.alphabet).search_hmm(bmyd, block)
+    sharded = sharded_nhmmer(bmyd, block, n_shards=4)
+
+    def rows(th):
+        return sorted((h.name, h.best_domain.ali_from,
+                       h.best_domain.ali_to, round(h.score, 4))
+                      for h in th.hits)
+
+    assert rows(sharded) == rows(single)
+    assert {h.name for h in single.hits} == {b"ctgA", b"ctgB"}
