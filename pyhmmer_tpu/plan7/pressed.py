@@ -20,7 +20,11 @@ field-by-field against the same models' ``.h3m`` parameterization
                                 (+17 wraparound duplicate vectors)
     u8    rbv[Kp][nqb*16]       striped BIASED match costs for MSV
                                 (identical to ops/quantize.py's cost)
-    f32   evparam[6], cutoffs[6], compo[20?=K]
+    f32   evparam[6]
+    i64   offs[3]               moff/.h3m, foff/.h3f, poff/.h3p disk
+                                offsets of this record (zero for the
+                                first record)
+    f32   compo[K]
     u32   sentinel magic
 
 ``.h3p`` record (Viterbi/Forward part)::
@@ -35,7 +39,8 @@ field-by-field against the same models' ``.h3m`` parameterization
           {BM(k-1), MM(k-1), IM(k-1), DM(k-1), MD(k), MI(k), II(k)};
           the trailing nqf vectors are DD(k)
     f32   rfv[Kp][nqf*4]       striped match-emission odds (exp msc)
-    f32   xf[4][2]; i64 offs[5]?; u32 sentinel magic
+    f32   xf[4][2]             E=[.5,.5], N/J/C=[pmove, 1-pmove]
+    f32   cutoff[6], nj; i32 mode, L; u32 sentinel magic
 
 Striping: element ``z`` of vector ``q`` is model position
 ``k = q + z*nv + 1`` with ``nv`` the per-width vector count
@@ -176,7 +181,8 @@ def read_h3f_records(path) -> list:
                             c.off).reshape(Kp, nqb * 16)
         c.off += Kp * nqb * 16
         evparam = c.f32(6).copy()
-        cutoffs = c.f32(6).copy()
+        offs = struct.unpack_from("<3q", c.d, c.off)
+        c.off += 24
         compo = c.f32(abc.K).copy()
         sentinel = c.u32()
         if sentinel != MAGIC_H3F:
@@ -186,7 +192,7 @@ def read_h3f_records(path) -> list:
             M=M, alphabet=abc, name=name, max_length=max_length,
             tbm_b=tbm_b, tec_b=tec_b, tjb_b=tjb_b, scale_b=scale_b,
             base_b=base_b, bias_b=bias_b, cost=cost,
-            evparam=evparam, cutoffs=cutoffs, compo=compo))
+            evparam=evparam, offs=offs, compo=compo))
     return out
 
 
