@@ -1433,10 +1433,20 @@ int32_t stotrace_odds(
 
 extern "C" {
 
-// Returns number of domains written, or -1 if a buffer was too small
-// (caller falls back / retries).  out_scalars[6]:
+// Returns number of domains written, -1 if a buffer was too small
+// (caller falls back / retries), or -3 if device-provided rows were
+// threshold-marginal (caller retries without them).  out_scalars[6]:
 //   [0]=fwdsc  [1]=nexpected  [2]=nregions  [3]=nclustered
 //   [4]=noverlaps  [5]=nenvelopes
+//
+// ``ext_rows`` (optional, may be NULL): device-computed region rows
+// [3 * (L+1)] = btot, etot, mocc (see ops/rows_pallas.py) with the
+// Forward score in ``ext_fwdsc``; when given, the full-sequence
+// Forward/Backward parsers and the special-state decode are SKIPPED
+// (they ran on the TPU) and every region-finding comparison is audited
+// against ``audit_eps`` -- a comparison landing within the epsilon of
+// its threshold returns -3 so the caller can redo the target with the
+// exact host parsers (the f32-prefilter + f64-recheck margin pattern).
 int32_t hmmdp_domaindef(
     const uint8_t* dsq, int32_t L,
     const double* tBM, const double* tMM, const double* tIM,
@@ -1458,7 +1468,9 @@ int32_t hmmdp_domaindef(
     int8_t* tr_st, int32_t* tr_k, int32_t* tr_i, double* tr_pp,
     int64_t* tr_off,                             // [max_dom + 1]
     int64_t max_tr,
-    const void* core_handle) {                   // cached ExpCore or NULL
+    const void* core_handle,                     // cached ExpCore or NULL
+    const double* ext_rows,                      // [3*(L+1)] or NULL
+    double ext_fwdsc, double audit_eps) {
 
     const int W = M + 1;
     Specials sm; sm.config(L, true);    // multihit, full-length model
@@ -1476,6 +1488,35 @@ int32_t hmmdp_domaindef(
                su.xE, su.xN, su.xJ, su.xC, M, Kp, core);
 
     Arena::Mark call_mark = g_arena.mark();
+    const double* btot;
+    const double* etot;
+    const double* mocc;
+    double fwdsc;
+    if (ext_rows != nullptr) {
+        // device-resident parsers: the TPU already ran the full-L
+        // Forward/Backward and the special-state decode; start straight
+        // from the fetched rows.  Gate-boundary scores are marginal --
+        // the f32 device score must not decide the F3 gate there.
+        fwdsc = ext_fwdsc;
+        if (audit_eps > 0.0
+            && std::fabs(fwdsc - fwd_min) < audit_eps * 50.0) {
+            g_arena.release(call_mark);
+            delete local_core;
+            return -3;
+        }
+        if (fwdsc < fwd_min) {
+            out_scalars[0] = fwdsc;
+            out_scalars[1] = 0.0; out_scalars[2] = 0.0;
+            out_scalars[3] = 0.0;
+            out_scalars[4] = 0.0; out_scalars[5] = 0.0;
+            g_arena.release(call_mark);
+            delete local_core;
+            return 0;
+        }
+        btot = ext_rows;
+        etot = ext_rows + (L + 1);
+        mocc = ext_rows + 2 * (L + 1);
+    } else {
     // ---- full-sequence multihit Forward/Backward parsers ----
     // keep=3: specials stored LINEAR with per-row log scales -- avoids
     // 4-5 log() calls per row in each parser; the decode below pays one
@@ -1490,9 +1531,9 @@ int32_t hmmdp_domaindef(
     double* rsb = g_arena.alloc(L + 1);
     float dummy[1];
     double t_ = now_s();
-    double fwdsc = fwd_impl<float>(Pm, dsq, L, sm.xN, M, Kp,
-                                   fxN, fxB, fxE, fxC, fxJ,
-                                   dummy, dummy, dummy, 3, rsf);
+    fwdsc = fwd_impl<float>(Pm, dsq, L, sm.xN, M, Kp,
+                            fxN, fxB, fxE, fxC, fxJ,
+                            dummy, dummy, dummy, 3, rsf);
     phase_add(0, now_s() - t_);
     if (fwdsc < fwd_min) {
         // exact-score gate miss: the caller's F3 re-check would drop this
@@ -1512,9 +1553,9 @@ int32_t hmmdp_domaindef(
 
     // ---- decode_specials: btot / etot / mocc (linear specials x
     // row-scale exponentials; the ef* passes auto-vectorize) ----
-    double* btot = g_arena.alloc(L + 1);
-    double* etot = g_arena.alloc(L + 1);
-    double* mocc = g_arena.alloc(L + 1);
+    double* btot_w = g_arena.alloc(L + 1);
+    double* etot_w = g_arena.alloc(L + 1);
+    double* mocc_w = g_arena.alloc(L + 1);
     {
         double* __restrict__ ef_bb = g_arena.alloc(L + 1);
         double* __restrict__ ef_ee = g_arena.alloc(L + 1);
@@ -1525,18 +1566,20 @@ int32_t hmmdp_domaindef(
             ef_nx[i] = std::exp(rsf[i - 1] + rsb[i] - fwdsc);
         }
         const double eLoop = std::exp(sm.xN[0]);   // == eJ[0] == eC[0]
-        btot[0] = etot[0] = mocc[0] = 0.0;
+        btot_w[0] = etot_w[0] = mocc_w[0] = 0.0;
         for (int i = 1; i <= L; i++) {
-            btot[i] = btot[i - 1] + fxB[i - 1] * bxB[i - 1] * ef_bb[i];
-            etot[i] = etot[i - 1] + fxE[i] * bxE[i] * ef_ee[i];
+            btot_w[i] = btot_w[i - 1] + fxB[i - 1] * bxB[i - 1] * ef_bb[i];
+            etot_w[i] = etot_w[i - 1] + fxE[i] * bxE[i] * ef_ee[i];
             double pN = fxN[i - 1] * eLoop * bxN[i] * ef_nx[i];
             double pJ = fxJ[i - 1] * eLoop * bxJ[i] * ef_nx[i];
             double pC = fxC[i - 1] * eLoop * bxC[i] * ef_nx[i];
-            mocc[i] = 1.0 - (pN + pJ + pC);
+            mocc_w[i] = 1.0 - (pN + pJ + pC);
         }
     }
+    btot = btot_w; etot = etot_w; mocc = mocc_w;
 
     phase_add(2, now_s() - t_);
+    }
 
     int ndom = 0;
     int nregions = 0, nclustered = 0, noverlaps = 0, nenvelopes = 0;
@@ -1760,21 +1803,35 @@ int32_t hmmdp_domaindef(
     };
 
     // ---- region scan ----
+    // With device rows every threshold comparison is audited: a value
+    // inside audit_eps of its threshold could flip under the f32 device
+    // decode, so the whole target is redone with the exact host parsers.
+    bool marginal = false;
+    const double aeps = (ext_rows != nullptr) ? audit_eps : 0.0;
+    auto audit = [&](double delta) {
+        if (aeps > 0.0 && std::fabs(delta) < aeps) marginal = true;
+    };
     int istart = -1;
     bool triggered = false;
     int region_idx = 0;
-    for (int jj = 1; jj <= L && !fail; jj++) {
+    for (int jj = 1; jj <= L && !fail && !marginal; jj++) {
         if (!triggered) {
-            if (mocc[jj] - (btot[jj] - btot[jj - 1]) < rt2) istart = jj;
+            double d = mocc[jj] - (btot[jj] - btot[jj - 1]) - rt2;
+            audit(d);
+            if (d < 0.0) istart = jj;
             else if (istart == -1) istart = jj;
+            audit(mocc[jj] - rt1);
             if (mocc[jj] >= rt1) triggered = true;
-        } else if (mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2) {
+        } else if (audit(mocc[jj] - (etot[jj] - etot[jj - 1]) - rt2),
+                   mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2) {
             const int ii = istart;
             nregions++;
             double expected_n = 0.0;
             for (int z = ii; z <= jj; z++)
                 expected_n = std::max(expected_n,
                     std::min(etot[z] - etot[ii - 1], btot[jj] - btot[z]));
+            audit(expected_n - rt3);
+            if (marginal) break;
             if (expected_n >= rt3) {
                 // --- multidomain region: stochastic traceback clustering ---
                 double tt = now_s();
@@ -1934,6 +1991,7 @@ int32_t hmmdp_domaindef(
     double nexpected = etot[L];
     g_arena.release(call_mark);
     delete local_core;
+    if (marginal) return -3;
     out_scalars[0] = fwdsc;
     out_scalars[1] = nexpected;
     out_scalars[2] = nregions;
@@ -1942,6 +2000,10 @@ int32_t hmmdp_domaindef(
     out_scalars[5] = nenvelopes;
     return fail ? -1 : ndom;
 }
+
+// ABI marker: present iff hmmdp_domaindef takes the ext_rows tail
+// (ops/native.py probes it so a stale .so forces a rebuild)
+int32_t hmmdp_has_ext_rows() { return 1; }
 
 }  // extern "C"
 

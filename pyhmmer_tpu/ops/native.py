@@ -59,7 +59,8 @@ def _load_checked() -> ctypes.CDLL:
     lib.hmmdp_viterbi
     lib.hmmdp_core_new
     lib.hmmdp_bias_filter_idx
-    lib.hmmdp_phase_get      # newest entry point; AttributeError if stale
+    lib.hmmdp_phase_get
+    lib.hmmdp_has_ext_rows   # newest ABI marker; AttributeError if stale
     return lib
 
 
@@ -158,6 +159,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _I8P, _I32P, _I32P, _D,             # trace arrays
         _I64PP, ctypes.c_int64,             # tr_off, max_tr
         ctypes.c_void_p,                    # cached ExpCore handle or NULL
+        ctypes.c_void_p,                    # ext_rows [3*(L+1)] or NULL
+        ctypes.c_double, ctypes.c_double,   # ext_fwdsc, audit_eps
     ]
     lib.hmmdp_domaindef.restype = ctypes.c_int32
     lib.hmmdp_core_new.argtypes = [_D, _D, _D, _D, _D, _D, _D, _D,
@@ -451,6 +454,15 @@ def prewarm(prof) -> None:
 
 import threading as _threading
 
+#: diagnostic: device-rows domaindef calls that hit the threshold-margin
+#: audit and were transparently redone with the exact host parsers
+_n_marginal = 0
+
+
+def marginal_count() -> int:
+    return _n_marginal
+
+
 _dd_tls = _threading.local()
 
 
@@ -480,7 +492,9 @@ def _dd_buffers(max_dom: int, max_tr: int) -> dict:
 
 def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
               nsamples: int = 200, rt1: float = 0.25, rt2: float = 0.10,
-              rt3: float = 0.20, fwd_min: float = -np.inf):
+              rt3: float = 0.20, fwd_min: float = -np.inf,
+              ext_rows: Optional[np.ndarray] = None,
+              ext_fwdsc: float = 0.0, audit_eps: float = 2e-4):
     """Full native domain definition for one Forward survivor.
 
     Runs the complete ``p7_domaindef_ByPosteriorHeuristics`` machinery in
@@ -490,7 +504,16 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     unavailable or a buffer overflowed (caller falls back to Python).
     If the exact Forward score lands below ``fwd_min`` (the caller's
     F3-gate threshold in nats) the driver bails after Forward and returns
-    an empty result carrying only ``fwdsc``."""
+    an empty result carrying only ``fwdsc``.
+
+    ``ext_rows`` [3, L+1] float64 (btot, etot, mocc) + ``ext_fwdsc``:
+    device-computed full-L parser rows (``ops.rows_pallas``); the native
+    side then skips its own parsers/decode, auditing every region
+    threshold comparison against ``audit_eps`` -- if any lands inside the
+    margin (f32 device rows could flip it) the call transparently reruns
+    with the exact host parsers.  Matches the reference's parser-kernel
+    split (``impl_sse/fwdback.c`` parser mode feeding
+    ``p7_domaindef.c``)."""
     from ..plan7 import domaindef as dd
     lib = get_lib()
     if lib is None:
@@ -516,6 +539,13 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
     # the library is compiled -ffinite-math-only (reductions/max chains
     # vectorize); every float crossing the ABI must be finite
     fwd_min = float(np.clip(fwd_min, -1e300, 1e300))
+    ext_ptr, ext_sc = None, 0.0
+    if ext_rows is not None:
+        ext = np.ascontiguousarray(
+            np.clip(ext_rows, -1e300, 1e300), dtype=np.float64)
+        assert ext.shape == (3, L + 1), ext.shape
+        ext_ptr = ext.ctypes.data_as(ctypes.c_void_p)
+        ext_sc = float(np.clip(ext_fwdsc, -1e300, 1e300))
     ndom = lib.hmmdp_domaindef(
         dsq8, L,
         pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
@@ -524,7 +554,14 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
         1 if do_null2 else 0, seed & 0x7FFFFFFFFFFFFFFF, nsamples,
         rt1, rt2, rt3, float(fwd_min),
         out_scalars, n2sc, dom_int, dom_dbl, max_dom,
-        tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr, pt.core)
+        tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr, pt.core,
+        ext_ptr, ext_sc, float(audit_eps) if ext_ptr is not None else 0.0)
+    if ndom == -3:
+        # device rows were threshold-marginal: redo with exact parsers
+        global _n_marginal
+        _n_marginal += 1
+        return domaindef(prof_multi, dsq, do_null2, seed, nsamples,
+                         rt1, rt2, rt3, fwd_min)
     if ndom < 0:
         return None
     domains = []

@@ -1,0 +1,513 @@
+"""Pallas TPU kernels for device-resident survivor postprocessing.
+
+The reference runs the full-sequence Forward/Backward "parsers" and the
+special-state posterior decode as host SIMD kernels on every Forward-gate
+survivor (``impl_sse/fwdback.c`` parser mode + the decode consumed by
+``p7_domaindef_ByPosteriorHeuristics``, see
+/root/reference/src/hmmer/CMakeLists.txt:102-164 and SURVEY.md §2.5).
+Here those two passes run ON DEVICE, so the host domain machinery
+(``csrc/hmmdp.cpp:hmmdp_domaindef``) starts directly from device-produced
+region rows and only does regions/envelopes/ensemble.
+
+Layout: unlike the batched filter kernels (``[Mp sublanes, Bt lanes]``,
+lanes = target sequences), final survivors are SPARSE — ~1 pair per
+profile — so a lane-batched layout would pay a whole 128-lane tile per
+profile.  These kernels instead process **one (profile, sequence) pair
+per grid step** with the model dimension on lanes (state ``[1, Mp]``):
+
+* the profile's tensors are selected by a scalar-prefetch index
+  (``pltpu.PrefetchScalarGridSpec``), so pairs sorted by profile reuse
+  the resident VMEM block;
+* the DD chains ride the MXU as ``[1, Mp] x [Mp, Mp]`` transfer-matrix
+  products (forward: pre-shifted ``sdd``; backward: the reverse-chain
+  matrix ``rdd``), exactly the trick of the v2 Forward kernel;
+* per-row specials are ``[1, 1]`` scalars; each row's parser specials
+  are packed into lane slots of a ``[L+1, 128]`` output block.
+
+The backward kernel emits the three *decode term streams* the region
+finder consumes (the summands of btot / etot and the 1-mocc row mass),
+already divided by the Forward score, so the fetch is 3 floats per row
+instead of 10 specials + 2 scale streams:
+
+  term_b[j] = fB[j] * bB[j] * exp(rsf[j] + rsb[j] - fwdsc)   (j = 0..L-1)
+  term_e[i] = fE[i] * bE[i] * exp(rsf[i] + rsb[i] - fwdsc)   (i = 1..L)
+  term_w[i] = (fN[i-1] bN[i] + fJ[i-1] bJ[i] + fC[i-1] bC[i])
+              * loop * exp(rsf[i-1] + rsb[i] - fwdsc)        (i = 1..L)
+
+with btot = cumsum(term_b), etot = cumsum(term_e), mocc = 1 - term_w
+(cumsums on the host in float64).  Scores are float32; the engine
+gates with a margin and routes gate-boundary or threshold-marginal
+targets back through the exact host path (`hmmdp_domaindef` returns a
+"marginal" code when any region-finding comparison lands within the
+audit epsilon).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os as _os
+_INTERPRET = _os.environ.get("PYHMMER_TPU_PALLAS_INTERPRET", "0") == "1"
+
+NEGMASS = -1e30
+KP_PAD = 32
+TINY = 1e-30
+R = 8          # rows per emission-gather strip
+
+#: frows lane slots (forward parser rows, linear odds + log scale)
+FB, FE, FJ, FC, RSF = 0, 1, 2, 3, 4
+#: terms lane slots
+TB, TE, TW = 0, 1, 2
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def _masks(n=5):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return [(lane == v).astype(jnp.float32) for v in range(n)]
+
+
+def _getcol(row, mask):
+    """Extract lane slot ``mask`` of a [1, 128] row as a [1, 1] scalar."""
+    return jnp.sum(row * mask, axis=1, keepdims=True)
+
+
+def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
+                   sdd_ref, frows_ref, fsc_ref):
+    """grid (G,): one survivor pair per step.  State [1, Mp] on lanes."""
+    g = pl.program_id(0)
+    Mp = ems_ref.shape[2]
+    L = oh_ref.shape[1]
+    length = lens_ref[g]
+    lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
+    pmove = 3.0 / (lenf + 3.0)
+    loop_o = 1.0 - pmove
+    move_o = pmove
+    log_move = jnp.log(pmove)
+
+    eMMs = rows_ref[0, 0:1, :]
+    eIMs = rows_ref[0, 1:2, :]
+    eBMs = rows_ref[0, 2:3, :]
+    eMIa = rows_ref[0, 3:4, :]
+    eIIa = rows_ref[0, 4:5, :]
+    w_e = rows_ref[0, 5:6, :]
+    sdd = sdd_ref[0]
+    mB, mE, mJ, mC, mRS = _masks(5)
+
+    one = jnp.ones((1, 1), jnp.float32)
+    zero = jnp.zeros((1, 1), jnp.float32)
+    # row 0 of the parser specials: N=1, B=move, E=J=C=0, scale=0
+    frows_ref[0, 0:1, :] = move_o * mB
+
+    def strip(s, carry):
+        mrow, irow, j_, c_, n_, logscale = carry
+        oh = oh_ref[0, pl.ds(s * R, R), :]                      # [R, KP]
+        ms_strip = jax.lax.dot_general(
+            oh, ems_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)  # [R, Mp]
+        is_strip = jax.lax.dot_general(
+            oh, eis_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+        for r in range(R):
+            i = s * R + r                       # 0-based; residue i+1
+            ms = ms_strip[r: r + 1, :]
+            is_ = is_strip[r: r + 1, :]
+            # b is a pure function of the carried n/j: b = (n + j) * move
+            b_ = (n_ + j_) * move_o
+            ddp = jax.lax.dot_general(
+                mrow, sdd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGH)
+            rm = pltpu.roll(mrow, 1, 1)
+            ri = pltpu.roll(irow, 1, 1)
+            nm = ms * (rm * eMMs + ri * eIMs + ddp + b_ * eBMs)
+            ni = is_ * (mrow * eMIa + irow * eIIa)
+            e = jnp.sum(nm * w_e, axis=1, keepdims=True)        # [1, 1]
+            nj = j_ * loop_o + e * 0.5
+            nc = c_ * loop_o + e * 0.5
+            nn = n_ * loop_o
+            # rescale every row by the live-mass max (bookkeeping exact)
+            mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True),
+                             jnp.maximum(jnp.maximum(nj, nc),
+                                         jnp.maximum(nn, TINY)))
+            valid = (i < length)
+            inv = jnp.where(valid, 1.0 / mx, one)
+            nscale = jnp.where(valid, logscale + jnp.log(mx), logscale)
+            nj = jnp.where(valid, nj * inv, j_)
+            nc = jnp.where(valid, nc * inv, c_)
+            nn = jnp.where(valid, nn * inv, n_)
+            mrow = jnp.where(valid, nm * inv, mrow)
+            irow = jnp.where(valid, ni * inv, irow)
+            j_, c_, n_, logscale = nj, nc, nn, nscale
+            nb = (n_ + j_) * move_o
+            packed = (nb * mB + (e * inv) * mE + j_ * mJ + c_ * mC
+                      + logscale * mRS)
+            frows_ref[0, pl.ds(i + 1, 1), :] = packed
+        return (mrow, irow, j_, c_, n_, logscale)
+
+    mrow0 = jnp.zeros((1, Mp), jnp.float32)
+    nS = (length + (R - 1)) // R
+    mrow, irow, j_, c_, n_, logscale = jax.lax.fori_loop(
+        0, nS, strip, (mrow0, mrow0, zero, zero, one, zero))
+    score = jnp.where(c_ > 0.0,
+                      jnp.log(jnp.maximum(c_, TINY)) + logscale + log_move,
+                      NEGMASS)
+    fsc_ref[0, 0:1, :] = score * mB
+
+
+def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
+                   ems_ref, eis_ref, rows_ref, rdd_ref,
+                   terms_ref, bsc_ref):
+    """grid (G,): backward parser + fused decode terms for one pair."""
+    g = pl.program_id(0)
+    Mp = ems_ref.shape[2]
+    length = lens_ref[g]
+    lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
+    pmove = 3.0 / (lenf + 3.0)
+    loop_o = 1.0 - pmove
+    move_o = pmove
+    log_loop = jnp.log1p(-pmove)
+
+    eBMs = rows_ref[0, 2:3, :]
+    eMIa = rows_ref[0, 3:4, :]
+    eIIa = rows_ref[0, 4:5, :]
+    bMM = rows_ref[0, 6:7, :]
+    bIM = rows_ref[0, 7:8, :]
+    bDM = rows_ref[0, 8:9, :]
+    bMD = rows_ref[0, 9:10, :]
+    kmrow = rows_ref[0, 10:11, :]
+    w0row = rows_ref[0, 11:12, :]
+    m0row = rows_ref[0, 12:13, :]
+    rdd = rdd_ref[0]
+    mB, mE, mJ, mC, mRS = _masks(5)
+    mTB, mTE, mTW = mB, mE, mJ
+
+    one = jnp.ones((1, 1), jnp.float32)
+    zero = jnp.zeros((1, 1), jnp.float32)
+    fwdsc = _getcol(fsc_ref[0, 0:1, :], mB)
+
+    # init state = parser row at i = len: c = move, e = move/2, rows from
+    # the closing DD chain (e * w0 / e * m0), everything else 0
+    e_init = move_o * 0.5
+
+    def strip_rev(t, carry):
+        mrow, irow, j_, c_, n_, b_, logscale = carry
+        nS = (length + (R - 1)) // R
+        s = nS - 1 - t
+        oh = oh_ref[0, pl.ds(s * R, R), :]
+        ms_strip = jax.lax.dot_general(
+            oh, ems_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+        is_strip = jax.lax.dot_general(
+            oh, eis_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGH)
+        for rr in range(R):
+            r = R - 1 - rr
+            i = s * R + r                  # update -> state at row i
+            live = (i < length)            # rows >= len are dead
+            # pin: while i+1 >= len the carried state must equal the
+            # row-len init (the scan enters real rows at i = len-1)
+            pinned = (i + 1 >= length)
+            mrow = jnp.where(pinned, e_init * m0row, mrow)
+            irow = jnp.where(pinned, jnp.zeros_like(irow), irow)
+            j_ = jnp.where(pinned, zero, j_)
+            c_ = jnp.where(pinned, move_o * one, c_)
+            n_ = jnp.where(pinned, zero, n_)
+            b_ = jnp.where(pinned, zero, b_)
+            e_st = jnp.where(pinned, e_init * one, 0.5 * (j_ + c_))
+            logscale = jnp.where(pinned, zero, logscale)
+
+            # ---- emit decode terms for row i+1 (state = bck @ i+1) ----
+            fr1 = frows_ref[0, pl.ds(i + 1, 1), :]
+            fr0 = frows_ref[0, pl.ds(i, 1), :]
+            rsf1 = _getcol(fr1, mRS)
+            rsf0 = _getcol(fr0, mRS)
+            ex1 = jnp.exp(rsf1 + logscale - fwdsc)
+            ex0 = jnp.exp(rsf0 + logscale - fwdsc)
+            t_b = _getcol(fr1, mB) * b_ * ex1
+            t_e = _getcol(fr1, mE) * e_st * ex1
+            # N-chain forward mass: fN[i] = exp(i*log_loop - rsf[i]), so
+            # the rsf cancels inside the N term
+            i_f = jnp.asarray(i, jnp.float32).reshape(1, 1)
+            t_w = ((jnp.exp(i_f * log_loop + logscale - fwdsc) * n_
+                    + (_getcol(fr0, mJ) * j_ + _getcol(fr0, mC) * c_)
+                    * ex0) * loop_o)
+            emit = ((i + 1) <= length)
+            packed = jnp.where(
+                emit, t_b * mTB + t_e * mTE + t_w * mTW,
+                jnp.zeros((1, 128), jnp.float32))
+            terms_ref[0, pl.ds(i + 1, 1), :] = packed
+
+            # ---- update to row i ----
+            ms = ms_strip[r: r + 1, :]
+            is_ = is_strip[r: r + 1, :]
+            t_roll = pltpu.roll(mrow * ms, Mp - 1, 1)
+            b = jnp.sum(mrow * eBMs * ms, axis=1, keepdims=True)
+            nj = j_ * loop_o + b * move_o
+            nc = c_ * loop_o
+            nn = n_ * loop_o + b * move_o
+            ne = 0.5 * (nj + nc)
+            u = t_roll * bDM
+            nd = jax.lax.dot_general(
+                u, rdd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=HIGH) + ne * w0row
+            nm = (ne * kmrow + t_roll * bMM + irow * eMIa * is_
+                  + pltpu.roll(nd, Mp - 1, 1) * bMD)
+            ni = t_roll * bIM + irow * eIIa * is_
+            mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True), TINY)
+            inv = jnp.where(live, 1.0 / mx, one)
+            nscale = jnp.where(live, logscale + jnp.log(mx), logscale)
+            mrow = jnp.where(live, nm * inv, mrow)
+            irow = jnp.where(live, ni * inv, irow)
+            j_ = jnp.where(live, nj * inv, j_)
+            c_ = jnp.where(live, nc * inv, c_)
+            n_ = jnp.where(live, nn * inv, n_)
+            b_ = jnp.where(live, b * inv, b_)
+            logscale = nscale
+        return (mrow, irow, j_, c_, n_, b_, logscale)
+
+    mrow0 = jnp.zeros((1, Mp), jnp.float32)
+    nS = (length + (R - 1)) // R
+    mrow, irow, j_, c_, n_, b_, logscale = jax.lax.fori_loop(
+        0, nS, strip_rev, (mrow0, mrow0, zero, move_o * one, zero, zero,
+                           zero))
+    # row 0: only the btot summand (term_b[0]); bck score for the audit
+    fr0 = frows_ref[0, 0:1, :]
+    t_b0 = (_getcol(fr0, mB) * b_
+            * jnp.exp(_getcol(fr0, mRS) + logscale - fwdsc))
+    terms_ref[0, 0:1, :] = t_b0 * mTB
+    bscore = jnp.where(n_ > 0.0,
+                       jnp.log(jnp.maximum(n_, TINY)) + logscale, NEGMASS)
+    bsc_ref[0, 0:1, :] = bscore * mB
+
+
+NROWS = 13
+
+
+def build_rows_tensors(pb) -> dict:
+    """Per-chunk tensors for the survivor-rows kernels (cached on the
+    ``ProfileBatch``).  Model lanes are padded to a multiple of 128."""
+    if "rowsp" in pb._device_cache:
+        return pb._device_cache["rowsp"]
+    from .batch import round_up
+    P = pb.P
+    Mp = max(128, round_up(pb.Mp, 128))
+    Kp = pb.Kp
+    ems = np.zeros((P, KP_PAD, Mp), np.float32)
+    eis = np.zeros((P, KP_PAD, Mp), np.float32)
+    rows = np.zeros((P, NROWS, Mp), np.float32)
+    sdd = np.zeros((P, Mp, Mp), np.float32)
+    rdd = np.zeros((P, Mp, Mp), np.float32)
+
+    def xexp(a):
+        a = np.asarray(a, np.float64)
+        return np.where(a > -600.0, np.exp(np.minimum(a, 600.0)), 0.0)
+
+    for i, prof in enumerate(pb.profiles):
+        M = prof.M
+        ems[i, :Kp, :M] = xexp(prof.msc[:, 1:])
+        eis[i, :Kp, :M] = xexp(prof.isc[:, 1:])
+        tMM = np.where(np.isfinite(prof.tMM), prof.tMM, -np.inf)
+        tIM = np.where(np.isfinite(prof.tIM), prof.tIM, -np.inf)
+        tDM = np.where(np.isfinite(prof.tDM), prof.tDM, -np.inf)
+        tMD = np.where(np.isfinite(prof.tMD), prof.tMD, -np.inf)
+        tDD = np.where(np.isfinite(prof.tDD), prof.tDD, -np.inf)
+        tBM = np.where(np.isfinite(prof.tBM), prof.tBM, -np.inf)
+        tMI = np.where(np.isfinite(prof.tMI), prof.tMI, -np.inf)
+        tII = np.where(np.isfinite(prof.tII), prof.tII, -np.inf)
+        # forward slots (slot s = model state s+1, like fwd_pallas)
+        rows[i, 0, 1:M] = xexp(tMM[1:M])         # eMMs
+        rows[i, 1, 1:M] = xexp(tIM[1:M])         # eIMs
+        rows[i, 2, :M] = xexp(tBM[:M])           # eBMs
+        rows[i, 3, : M - 1] = xexp(tMI[1:M])     # eMIa
+        rows[i, 4, : M - 1] = xexp(tII[1:M])     # eIIa
+        # DD-chain transfer (same math as fwd_pallas.build_fwd_tensors):
+        # Tdd[j_slot, k_slot] = exp(tMD[j] + sum_{m=j+1}^{k-1} tDD[m])
+        c = np.zeros(M + 1)
+        if M >= 2:
+            c[2:] = np.cumsum(tDD[1:M])
+        j = np.arange(1, M)
+        with np.errstate(invalid="ignore"):
+            logT = (tMD[j][:, None] + c[None, 2: M + 1]
+                    - c[j + 1][:, None])
+        mask = (j[:, None] < np.arange(2, M + 1)[None, :])
+        tdd_block = xexp(np.where(mask, logT, -np.inf))   # [M-1, M-1]
+        tdd_mat = np.zeros((Mp, Mp))
+        tdd_mat[: M - 1, 1: M] = tdd_block
+        # pre-shifted eDM-scaled transfer: the per-row DD-path matmul
+        # consumes the previous row's match vector (fwd_pallas v2 trick):
+        # sdd[j_slot, k_slot] = eDM[k] * Tdd[j_slot, k_slot - 1]
+        eDM_slot = np.zeros(Mp)
+        eDM_slot[1:M] = xexp(tDM[1:M])
+        sdd[i, :, 1:] = eDM_slot[None, 1:] * tdd_mat[:, : Mp - 1]
+        rows[i, 5, :M] = 1.0 + tdd_mat.sum(axis=1)[:M]   # w_e
+        # backward slots: coefficient at slot s belongs to state k = s+1
+        rows[i, 6, : M - 1] = xexp(tMM[1:M])      # bMM[s] = eMM[s+1]
+        rows[i, 7, : M - 1] = xexp(tIM[1:M])      # bIM
+        rows[i, 8, : M - 1] = xexp(tDM[1:M])      # bDM
+        rows[i, 9, : M - 1] = xexp(tMD[1:M])      # bMD
+        rows[i, 10, :M] = 1.0                     # kmask
+        # e-coefficient / init chains: nd1[M] = 1,
+        # nd1[k] = 1 + nd1[k+1]*eDD[k]
+        eDD = xexp(tDD)
+        nd1 = np.zeros(M + 2)
+        nd1[M] = 1.0
+        for k in range(M - 1, 0, -1):
+            nd1[k] = 1.0 + nd1[k + 1] * eDD[k]
+        rows[i, 11, :M] = nd1[1: M + 1]           # w0row
+        m0 = np.ones(M + 1)
+        eMD = xexp(tMD)
+        for k in range(1, M):
+            m0[k] = 1.0 + nd1[k + 1] * eMD[k]
+        rows[i, 12, :M] = m0[1: M + 1]            # m0row
+        # reverse DD chain matrix: rdd[j_slot, k_slot] =
+        # prod_{m=k}^{j-1} eDD[m] for state j >= k (coefficient of
+        # u[j] in nd[k]); diagonal = 1
+        cr = np.zeros(M + 2)
+        for x in range(1, M):
+            cr[x + 1] = cr[x] + (np.log(eDD[x]) if eDD[x] > 0
+                                 else -np.inf)
+        cr[M + 1] = -np.inf     # no DD step out of state M
+        jj = np.arange(1, M + 1)
+        with np.errstate(invalid="ignore"):
+            logR = cr[jj][:, None] - cr[jj][None, :]   # [j, k] = c[j]-c[k]
+        maskR = jj[:, None] >= jj[None, :]
+        rdd[i, :M, :M] = xexp(np.where(maskR, logR, -np.inf))
+
+    out = {"Mp": Mp,
+           "ems": jnp.asarray(ems), "eis": jnp.asarray(eis),
+           "rows": jnp.asarray(rows),
+           "sdd": jnp.asarray(sdd), "rdd": jnp.asarray(rdd)}
+    pb._device_cache["rowsp"] = out
+    return out
+
+
+@partial(jax.jit, static_argnames=("Lp", "Mp"))
+def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
+    """Chained fwd-rows + bck-rows kernels for a padded pair batch.
+
+    Returns (terms [G, Lp+1, 4] f32, fsc [G] f32, bsc [G] f32); the
+    forward parser rows stay on device between the two kernels."""
+    G = pidx.shape[0]
+    Lp1 = Lp + 1
+    grid_f = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, KP_PAD), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP_PAD, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP_PAD, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NROWS, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Lp1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    frows, fsc = pl.pallas_call(
+        _fwd_rows_body,
+        grid_spec=grid_f,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, 128), jnp.float32),
+        ),
+        interpret=_INTERPRET,
+    )(pidx, lens, oh, ems, eis, rows, sdd)
+
+    grid_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, KP_PAD), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP_PAD, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP_PAD, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NROWS, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, Mp), lambda g, p, l: (p[g], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Lp1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda g, p, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    terms, bsc = pl.pallas_call(
+        _bck_rows_body,
+        grid_spec=grid_b,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, 128), jnp.float32),
+        ),
+        interpret=_INTERPRET,
+    )(pidx, lens, oh, frows, fsc, ems, eis, rows, rdd)
+    return terms[:, :, :4], fsc[:, 0, 0], bsc[:, 0, 0]
+
+
+@partial(jax.jit, static_argnames=("Lp",))
+def _gather_pair_onehot(codes_t, lens_d, ridx, Lp):
+    """Per-pair one-hot codes [G, Lp, KP_PAD] + lengths from a bucket's
+    transposed codes (-1 in ridx = padding -> length 0)."""
+    valid = ridx >= 0
+    r = jnp.maximum(ridx, 0)
+    ct = jnp.take(codes_t[:Lp], r, axis=1).T            # [G, Lp]
+    oh = jax.nn.one_hot(ct, KP_PAD, dtype=jnp.float32)
+    lens = jnp.where(valid, jnp.take(lens_d, r), 0).astype(jnp.int32)
+    return oh, lens
+
+
+def survivor_rows(pb, dev, pair_p: np.ndarray, pair_b: np.ndarray):
+    """Launch the rows kernels for survivor pairs of one (chunk, bucket).
+
+    ``pair_p``/``pair_b``: profile index within the chunk / bucket lane
+    per pair.  Returns device arrays (terms [G, Lp1, 4], fsc [G],
+    bsc [G]) and the padded pair count; the caller fetches them together
+    with the rest of the stage.
+    """
+    t = build_rows_tensors(pb)
+    n = len(pair_p)
+    order = np.argsort(pair_p, kind="stable")
+    pair_p = np.asarray(pair_p)[order]
+    pair_b = np.asarray(pair_b)[order]
+    G = _pad_g(n)
+    pidx = np.zeros(G, dtype=np.int32)
+    ridx = np.full(G, -1, dtype=np.int32)
+    pidx[:n] = pair_p
+    ridx[:n] = pair_b
+    Lp = dev.Lmax
+    oh, lens = _gather_pair_onehot(dev.codes_t, dev.lens_d,
+                                   jnp.asarray(ridx), Lp)
+    terms, fsc, bsc = _survivor_rows_impl(
+        jnp.asarray(pidx), lens, oh, t["ems"], t["eis"], t["rows"],
+        t["sdd"], t["rdd"], Lp, t["Mp"])
+    return terms, fsc, bsc, order[:n]
+
+
+def _pad_g(n: int) -> int:
+    for b in (8, 16, 32, 64, 128, 256, 512):
+        if n <= b:
+            return b
+    from .batch import round_up
+    return round_up(n, 512)
