@@ -537,6 +537,14 @@ class SearchEngine:
         def _mark(name):
             _tmark[name] = _time.time() - _t0
         native_ok = _native.available()
+        _marg0 = _native.marginal_count()
+        # routing knobs re-read per search so tests can force every pair
+        # through the full device cascade (spec <= -1 disables
+        # speculation entirely; host-budget scale 0 disables the sparse
+        # host path)
+        _spec_p1b = float(os.environ.get("PYHMMER_TPU_SPEC_P1B",
+                                         str(SPECULATE_P1B)))
+        _hb_scale = float(os.environ.get("PYHMMER_TPU_HOST_BUDGET", "1"))
         # worker count == core count: the native calls release the GIL
         # and keep the cores saturated; oversubscribing measurably slows
         # the postprocessing phases (context switching on 2-core hosts)
@@ -552,12 +560,17 @@ class SearchEngine:
             own_executor = True
         pending = []   # (job tuple, future | None)
 
-        def _run_domaindef(job):
+        def _run_domaindef(job, ext=None):
             """Worker-thread body: optional native Viterbi F2 gate (for
             host-routed sparse pairs that skipped the device Viterbi),
             then native domaindef (GIL released during the C calls) +
             exact-score F3 gate + Hit construction.  The returned Hit is
-            appended serially by the collect loop."""
+            appended serially by the collect loop.
+
+            ``ext`` = (rows [3, L+1] f64, fwdsc) from the device rows
+            stage: the native call then skips its own full-L parsers
+            (they ran on the TPU) and transparently falls back to the
+            exact host path on threshold-marginal targets."""
             (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
              vit_min) = job
             st = states[ci]
@@ -569,8 +582,13 @@ class SearchEngine:
                     return None                  # caller falls back
                 if v < vit_min:
                     return ("gated_vit",)
-            out = _native.domaindef(st.profs[pi], sq.sequence,
-                                    pli.null2, seed, fwd_min=fwd_min)
+            if ext is not None:
+                out = _native.domaindef(st.profs[pi], sq.sequence,
+                                        pli.null2, seed, fwd_min=fwd_min,
+                                        ext_rows=ext[0], ext_fwdsc=ext[1])
+            else:
+                out = _native.domaindef(st.profs[pi], sq.sequence,
+                                        pli.null2, seed, fwd_min=fwd_min)
             if out is None:
                 return None                      # caller falls back
             fwdsc, res = out
@@ -580,8 +598,91 @@ class SearchEngine:
                                  fwdsc, nullsc_b, res)
             return ("hit", hit)
 
+        # ---- device rows stage (stage 2b) ----
+        # Final survivors that would previously each pay a full native
+        # job (full-L fwd + bck parsers + decode ~40% of the native
+        # time) are instead batched through the per-pair Pallas rows
+        # kernels (ops.rows_pallas); their jobs reach the pool with the
+        # region rows attached and the native side starts directly at
+        # region finding.  Ineligible pairs (very long buckets, very
+        # large models, nonresidue lanes, no Pallas) keep the classic
+        # path.
+        rows_enabled = (self.use_pallas and native_ok and os.environ.get(
+            "PYHMMER_TPU_DEVICE_ROWS", "1") != "0")
+        rows_pending: dict = {}       # (ci, bi) -> [job, ...]
+        rows_launched: list = []
+        _rows_ok_cache: dict = {}
+
+        def _rows_ok(ci, bi):
+            ok = _rows_ok_cache.get((ci, bi))
+            if ok is None:
+                dev = buckets.buckets[bi][3]
+                Mp_r = max(128, B.round_up(states[ci].pb.Mp, 128))
+                ok = rows_enabled and dev.Lmax <= 2048 and Mp_r <= 768
+                _rows_ok_cache[(ci, bi)] = ok
+            return ok
+
+        def _launch_rows():
+            """Enqueue the rows kernels for every deferred pair group
+            (device work only; results come back in _collect_rows)."""
+            from .ops import rows_pallas as RP
+            for key in list(rows_pending):
+                jobs = rows_pending.pop(key)
+                if not jobs:
+                    continue
+                ci, bi = key
+                st = states[ci]
+                dev = buckets.buckets[bi][3]
+                pair_p = np.array([j[2] for j in jobs], np.int32)
+                pair_b = np.array([j[4] for j in jobs], np.int32)
+                terms_d, fsc_d, bsc_d, order = RP.survivor_rows(
+                    st.pb, dev, pair_p, pair_b)
+                rows_launched.append((ci, bi, [jobs[k] for k in order],
+                                      terms_d, fsc_d, bsc_d))
+
+        def _collect_rows():
+            """One concatenated fetch of every rows launch, then submit
+            the jobs with their device rows attached.  The f32 forward
+            score is cross-checked against the backward score (they are
+            equal in exact arithmetic): disagreement means the device
+            numerics can't be trusted for this pair and it runs the
+            classic path instead."""
+            if not rows_launched:
+                return
+            parts = []
+            for (_, _, _, t, f, bsc) in rows_launched:
+                parts += [t, f, bsc]
+            arrs = _fetch_all(parts)
+            k = 0
+            for (ci, bi, jobs, *_) in rows_launched:
+                terms, fsc, bsc = arrs[k], arrs[k + 1], arrs[k + 2]
+                k += 3
+                lens_b = buckets.buckets[bi][2]
+                for g, job in enumerate(jobs):
+                    Lb = int(lens_b[job[4]])
+                    f32 = float(fsc[g])
+                    b32 = float(bsc[g])
+                    ext = None
+                    if (np.isfinite(f32) and np.isfinite(b32)
+                            and abs(f32 - b32) < 2e-2 + 1e-4 * abs(f32)):
+                        t = terms[g].astype(np.float64)
+                        btot = np.concatenate(
+                            [[0.0], np.cumsum(t[:Lb, 0])])
+                        etot = np.concatenate(
+                            [[0.0], np.cumsum(t[1: Lb + 1, 1])])
+                        mocc = 1.0 - t[: Lb + 1, 2]
+                        mocc[0] = 0.0
+                        ext = (np.ascontiguousarray(
+                            np.stack([btot, etot, mocc])), f32)
+                        _tmark["n_rows_ext"] = _tmark.get(
+                            "n_rows_ext", 0) + 1
+                    fut = (executor.submit(_run_domaindef, job, ext)
+                           if executor is not None else None)
+                    pending.append((job, fut, False))
+            rows_launched.clear()
+
         def _submit(ci, bi, pi, pass_row, fcols, idx, vit_min_row=None,
-                    spec=False):
+                    spec=False, defer=False):
             st = states[ci]
             pli = st.pipelines[pi]
             c = ctx[(ci, bi)]
@@ -590,6 +691,7 @@ class SearchEngine:
             # exp_surv((fwdsc - filtersc)/LOG2) <= F3s  <=>  fwdsc >= min
             gate_off = (LOG2 * (ev[4] - math.log(F3s) / ev[5])
                         if F3s < 1.0 else -np.inf)
+            use_defer = defer and _rows_ok(ci, bi)
             for col in np.where(pass_row)[0]:
                 b = int(fcols[col])
                 seed = (pli.seed if pli.do_reseeding
@@ -601,6 +703,13 @@ class SearchEngine:
                 job = (ci, bi, pi, int(idx[b]), b, seed,
                        filtersc_b + gate_off, filtersc_b, nullsc_b,
                        vit_min)
+                # nonresidue codes inside the sequence are fine here:
+                # the rows kernels zero their emissions exactly like the
+                # native parsers (explicit length masks, no padding
+                # sentinel), unlike the MSV/bias kernels
+                if use_defer:
+                    rows_pending.setdefault((ci, bi), []).append(job)
+                    continue
                 fut = (executor.submit(_run_domaindef, job)
                        if executor is not None else None)
                 pending.append((job, fut, spec))
@@ -752,7 +861,7 @@ class SearchEngine:
             # of the dense buckets
             npairs = int(pass2.sum())
             Lmax_b = codes.shape[1]
-            host_budget = native_ok and npairs <= max(
+            host_budget = native_ok and npairs <= _hb_scale * max(
                 4, int(6e-4 * Lmax_b * st.pb.P))
             if host_budget:
                 for pi, pli in enumerate(st.pipelines):
@@ -781,7 +890,7 @@ class SearchEngine:
             # way.  Mis-speculations cost one fwd_min-bailed parser pass.
             if native_ok:
                 spec = pass2 & (P1b <= np.minimum(
-                    st.F2 * F2_SKIP_SLACK, SPECULATE_P1B))
+                    st.F2 * F2_SKIP_SLACK, _spec_p1b))
                 if spec.any():
                     c = ctx[(ci, bi)]
                     _tmark["nspec"] = _tmark.get("nspec", 0) + int(
@@ -871,7 +980,7 @@ class SearchEngine:
             idx = buckets.buckets[bi][0]
             for pi in range(Preal):
                 _submit(cj, bi, pi, pass_fwd[pi] & ~need_vit[pi],
-                        bsel, idx)
+                        bsel, idx, defer=True)
 
         # fetch in a few groups: each group's survivors reach the host
         # worker pool while the remaining Forward kernels are still
@@ -885,6 +994,10 @@ class SearchEngine:
             group_np = _fetch_all(s2_parts[g0: g0 + ngroup])
             for dj, fsc_raw in enumerate(group_np):
                 _stage2_host(g0 + dj, fsc_raw)
+            # wave-1 rows launches: skip-Viterbi survivors of this fetch
+            # group go to the device parsers while later Forward groups
+            # are still computing
+            _launch_rows()
         _mark("s2_done")
         _tmark["n_s3_jobs"] = len(s3_jobs)
         s3_np = _fetch_all(s3_parts)
@@ -908,11 +1021,18 @@ class SearchEngine:
             idx = buckets.buckets[bi][0]
             survived = c["pass_fwd"][:, vcols] & c["need_vit"][:, vcols]
             for pi in range(Preal):
-                _submit(cj, bi, pi, survived[pi], bsel[vcols], idx)
+                _submit(cj, bi, pi, survived[pi], bsel[vcols], idx,
+                        defer=True)
+
+        # wave-2 rows launches (Viterbi-gate survivors), then the single
+        # rows fetch; jobs with device rows reach the pool here
+        _launch_rows()
+        _mark("s3_host_done")
+        _collect_rows()
+        _mark("rows_done")
 
         # ---- collect: serial append of worker-built hits (deterministic
         # insertion order = deterministic tie-breaking in sort) ----
-        _mark("s3_host_done")
         for job, fut, spec_job in pending:
             (ci, bi, pi, tgt, b, seed, fwd_min, filtersc_b, nullsc_b,
              vit_min) = job
@@ -958,6 +1078,7 @@ class SearchEngine:
             executor.shutdown()
         _mark("collect_done")
         _tmark["npending"] = len(pending)
+        _tmark["n_marginal"] = _native.marginal_count() - _marg0
         #: per-search stage timing (seconds since search start), kept for
         #: diagnostics / the bench stage breakdown
         self.last_timing = dict(_tmark)

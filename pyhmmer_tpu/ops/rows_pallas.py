@@ -506,7 +506,12 @@ def survivor_rows(pb, dev, pair_p: np.ndarray, pair_b: np.ndarray):
 
 
 def _pad_g(n: int) -> int:
-    for b in (8, 16, 32, 64, 128, 256, 512):
+    # coarse ladder: padded pairs have length 0 (their whole row scan is
+    # skipped), so over-padding is near-free device-side, while each
+    # distinct (G, Lp, Mp) triple is a fresh XLA compile -- 3 levels
+    # bound the shape count without inflating the HBM row buffers
+    # (G x (L+1) x 128 f32 x 2 kernels) too far
+    for b in (32, 128, 512):
         if n <= b:
             return b
     from .batch import round_up

@@ -53,13 +53,56 @@ def test_engine_pallas_vs_fallback(data_dir):
                           use_pallas=True).search(hmms, targets)
 
     for qi in range(len(hmms)):
-        rows_fb = [(h.name, round(h.score, 6), round(h.evalue, 10),
-                    h.included) for h in res_fb[qi] if h.reported]
-        rows_pl = [(h.name, round(h.score, 6), round(h.evalue, 10),
-                    h.included) for h in res_pl[qi] if h.reported]
+        # hit sets, order, inclusion, and domain coordinates must be
+        # identical; scores carry the f32 device-rows forward score
+        # (ops.rows_pallas), in agreement with the exact path to well
+        # under a millbit -- far inside every reported-precision contract
+        rows_fb = [(h.name, h.included) for h in res_fb[qi] if h.reported]
+        rows_pl = [(h.name, h.included) for h in res_pl[qi] if h.reported]
         assert rows_pl == rows_fb, (qi, rows_pl, rows_fb)
+        for hf, hp in zip((h for h in res_fb[qi] if h.reported),
+                          (h for h in res_pl[qi] if h.reported)):
+            assert abs(hp.score - hf.score) < 2e-3, (hf.name, hp.score,
+                                                     hf.score)
+            assert abs(hp.bias - hf.bias) < 2e-3
+            dn_f = [(d.env_from, d.env_to, d.included) for d in hf.domains]
+            dn_p = [(d.env_from, d.env_to, d.included) for d in hp.domains]
+            assert dn_f == dn_p, (hf.name, dn_f, dn_p)
         assert res_pl[qi].n_past_msv == res_fb[qi].n_past_msv
         assert res_pl[qi].n_past_bias == res_fb[qi].n_past_bias
         assert res_pl[qi].n_past_fwd == res_fb[qi].n_past_fwd
     # the golden hits are actually present (non-trivial workload)
     assert sum(len(r.reported) for r in res_pl) >= len(want)
+
+
+def test_engine_pallas_forced_rows(data_dir, monkeypatch):
+    """Same equivalence with every survivor forced through the device
+    rows stage (speculation + sparse host routing disabled), so the
+    ops.rows_pallas path demonstrably produced the reported hits."""
+    monkeypatch.setenv("PYHMMER_TPU_SPEC_P1B", "-1")
+    monkeypatch.setenv("PYHMMER_TPU_HOST_BUDGET", "0")
+    with HMMFile(data_dir / "hmms" / "txt" / "PF02826.hmm") as f:
+        hmms = list(f)
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        full = f.read_block()
+    targets = DigitalSequenceBlock(hmms[0].alphabet, list(full)[:400])
+
+    res_fb = SearchEngine(hmms[0].alphabet,
+                          use_pallas=False).search(hmms, targets)
+    eng = SearchEngine(hmms[0].alphabet, use_pallas=True)
+    res_pl = eng.search(hmms, targets)
+    # the rows stage actually ran and attached device rows
+    assert eng.last_timing.get("n_rows_ext", 0) > 0, eng.last_timing
+    for qi in range(len(hmms)):
+        rows_fb = [(h.name, h.included,
+                    [(d.env_from, d.env_to) for d in h.domains])
+                   for h in res_fb[qi] if h.reported]
+        rows_pl = [(h.name, h.included,
+                    [(d.env_from, d.env_to) for d in h.domains])
+                   for h in res_pl[qi] if h.reported]
+        assert rows_pl == rows_fb, (qi, rows_pl, rows_fb)
+        for hf, hp in zip((h for h in res_fb[qi] if h.reported),
+                          (h for h in res_pl[qi] if h.reported)):
+            assert abs(hp.score - hf.score) < 2e-3
+            assert abs(hp.bias - hf.bias) < 2e-3

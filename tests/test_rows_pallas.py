@@ -50,6 +50,9 @@ def setup(data_dir):
     for i, L in enumerate([128, 127, 96, 65, 64, 17, 9, 5]):
         codes[i, :L] = rng.integers(0, aa.K, L).astype(np.uint8)
         lengths[i] = L
+    # a nonresidue code INSIDE a sequence (the proteome's stop '*'): the
+    # kernels must zero its emissions exactly like the native parsers
+    codes[2, 40] = aa.nonresidue_code
     # make row 0 a consensus-ish repeat so at least one pair carries
     # real domain mass (posterior terms near 1, not only noise)
     row = np.argmax(hmms[1].mat[1:129], axis=1)
