@@ -118,6 +118,66 @@ def load_queries(scale: float = 1.0):
     return out
 
 
+def bench_hmmscan(queries, targets, runs=3):
+    """hmmscan transpose on the same workload: every target sequence
+    scanned against the full model stack (engine transpose, Z=nmodels).
+    Shares the hmmsearch kernel shapes, so no extra compile cost."""
+    from pyhmmer_tpu import hmmer as H
+
+    def run():
+        return list(H.hmmscan(targets, queries))
+
+    run()                                   # warm (engine cache)
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        res = run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    ncmp = len(queries) * len(targets)
+    return {"metric": "hmmscan_tpu_comparisons_per_s",
+            "value": round(ncmp / dt, 1),
+            "unit": "profile*seq cmp/s",
+            "runs_s": [round(t, 2) for t in times],
+            "nhits": sum(len(r.reported) for r in res)}
+
+
+def bench_nhmmer(runs=3, mb=2.0):
+    """nhmmer long-targets throughput: bmyD over a synthetic genome with
+    planted copies, both strands (scripts/bench_nhmmer.py workload at a
+    bench-budget size)."""
+    import io
+    from pyhmmer_tpu.plan7 import HMMFile
+    from pyhmmer_tpu.easel import SequenceFile
+    from pyhmmer_tpu import hmmer as H
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_nhmmer import build_genome
+
+    with HMMFile(os.path.join(DATA, "hmms", "txt", "bmyD.hmm")) as f:
+        bmyd = f.read()
+    genome = build_genome(bmyd, int(mb * 1e6))
+    fasta = f">synth_chr planted bmyD copies\n{genome}\n"
+
+    def run():
+        with SequenceFile(io.StringIO(fasta), format="fasta",
+                          digital=True, alphabet=bmyd.alphabet) as sf:
+            return list(H.nhmmer(bmyd, sf))[0]
+
+    th = run()                              # warm
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        th = run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    return {"metric": "nhmmer_tpu_residues_per_s",
+            "value": round(2 * len(genome) / dt, 1),
+            "unit": "strand*residues/s",
+            "runs_s": [round(t, 2) for t in times],
+            "nhits": len(th.reported)}
+
+
 def main():
     t_start = time.time()
     from pyhmmer_tpu.easel import SequenceFile
@@ -167,6 +227,22 @@ def main():
                   sum(r.n_past_bias for r in results),
                   sum(r.n_past_vit for r in results),
                   sum(r.n_past_fwd for r in results)), file=sys.stderr)
+    # sibling app metrics in the same artifact (round-4 verdict #5: the
+    # driver JSON must track every flagship device path, not hmmsearch
+    # alone); disable with BENCH_EXTRA=0 for quick A/B loops
+    extra = []
+    if os.environ.get("BENCH_EXTRA", "1") != "0":
+        try:
+            extra.append(bench_hmmscan(queries, targets))
+        except Exception as e:      # pragma: no cover - diagnostics only
+            extra.append({"metric": "hmmscan_tpu_comparisons_per_s",
+                          "error": repr(e)[:200]})
+        try:
+            extra.append(bench_nhmmer())
+        except Exception as e:      # pragma: no cover
+            extra.append({"metric": "nhmmer_tpu_residues_per_s",
+                          "error": repr(e)[:200]})
+
     value = ncmp / dt
     Ms = [q.M for q in queries]
     print(json.dumps({
@@ -178,6 +254,7 @@ def main():
                      "distinct_M": len(set(Ms)),
                      "mean_M": round(sum(Ms) / len(Ms), 1),
                      "ntargets": len(targets)},
+        "extra_metrics": extra,
         "stages": stages or {},
     }))
     print(f"# {len(queries)} queries x {len(targets)} targets = {ncmp} "

@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <algorithm>
 #include <type_traits>
 
@@ -1262,6 +1263,48 @@ inline bool oa_close(T a, T b) {
            + 1e-9;
 }
 
+//: device-rows domaindef calls that failed the audit prepass and fell
+//: back to the exact host parsers (diagnostic, read via
+//: hmmdp_marginal_count)
+std::atomic<int64_t> g_ext_marginal{0};
+
+// Control-flow replica of the region scan in hmmdp_domaindef, with no
+// side effects: returns true when ANY threshold comparison lands within
+// ``eps`` of flipping -- the f32 device rows could then produce
+// different regions than the exact f64 parsers, so the caller recomputes
+// exactly.  Must stay in lockstep with the real scan below.
+static bool audit_region_marginal(
+    const double* btot, const double* etot, const double* mocc,
+    int L, double rt1, double rt2, double rt3, double eps) {
+    int istart = -1;
+    bool triggered = false;
+    for (int jj = 1; jj <= L; jj++) {
+        if (!triggered) {
+            double d = mocc[jj] - (btot[jj] - btot[jj - 1]) - rt2;
+            if (std::fabs(d) < eps) return true;
+            if (d < 0.0) istart = jj;
+            else if (istart == -1) istart = jj;
+            if (std::fabs(mocc[jj] - rt1) < eps) return true;
+            if (mocc[jj] >= rt1) triggered = true;
+        } else {
+            double d = mocc[jj] - (etot[jj] - etot[jj - 1]) - rt2;
+            if (std::fabs(d) < eps) return true;
+            if (d < 0.0) {
+                const int ii = istart;
+                double expected_n = 0.0;
+                for (int z = ii; z <= jj; z++)
+                    expected_n = std::max(expected_n,
+                        std::min(etot[z] - etot[ii - 1],
+                                 btot[jj] - btot[z]));
+                if (std::fabs(expected_n - rt3) < eps) return true;
+                istart = -1;
+                triggered = false;
+            }
+        }
+    }
+    return false;
+}
+
 struct TraceBuf {
     int8_t* st; int32_t* k; int32_t* i; double* pp;
     int64_t n, cap;
@@ -1492,20 +1535,24 @@ int32_t hmmdp_domaindef(
     const double* etot;
     const double* mocc;
     double fwdsc;
+    bool used_ext = false;
     if (ext_rows != nullptr) {
         // device-resident parsers: the TPU already ran the full-L
-        // Forward/Backward and the special-state decode; start straight
-        // from the fetched rows.  Gate-boundary scores are marginal --
-        // the f32 device score must not decide the F3 gate there.
-        fwdsc = ext_fwdsc;
-        if (audit_eps > 0.0
-            && std::fabs(fwdsc - fwd_min) < audit_eps * 50.0) {
-            g_arena.release(call_mark);
-            delete local_core;
-            return -3;
-        }
-        if (fwdsc < fwd_min) {
-            out_scalars[0] = fwdsc;
+        // Forward/Backward and the special-state decode.  Two cheap
+        // prepasses decide whether the f32 rows can be trusted BEFORE
+        // any envelope work: (a) the F3 gate margin (the f32 device
+        // score must not decide a boundary gate), (b) a control-flow
+        // replica of the region scan asserting every threshold
+        // comparison is at least audit_eps away from flipping.  If
+        // either is marginal the exact host parsers run below, in this
+        // same call -- no second envelope pass, no extra round trip.
+        const double* bt = ext_rows;
+        const double* et = ext_rows + (L + 1);
+        const double* mo = ext_rows + 2 * (L + 1);
+        bool marginal = audit_eps > 0.0
+            && std::fabs(ext_fwdsc - fwd_min) < audit_eps * 50.0;
+        if (!marginal && ext_fwdsc < fwd_min) {
+            out_scalars[0] = ext_fwdsc;
             out_scalars[1] = 0.0; out_scalars[2] = 0.0;
             out_scalars[3] = 0.0;
             out_scalars[4] = 0.0; out_scalars[5] = 0.0;
@@ -1513,10 +1560,18 @@ int32_t hmmdp_domaindef(
             delete local_core;
             return 0;
         }
-        btot = ext_rows;
-        etot = ext_rows + (L + 1);
-        mocc = ext_rows + 2 * (L + 1);
-    } else {
+        if (!marginal)
+            marginal = audit_region_marginal(bt, et, mo, L, rt1, rt2,
+                                             rt3, audit_eps);
+        if (!marginal) {
+            fwdsc = ext_fwdsc;
+            btot = bt; etot = et; mocc = mo;
+            used_ext = true;
+        } else {
+            g_ext_marginal.fetch_add(1, std::memory_order_relaxed);
+        }
+    }
+    if (!used_ext) {
     // ---- full-sequence multihit Forward/Backward parsers ----
     // keep=3: specials stored LINEAR with per-row log scales -- avoids
     // 4-5 log() calls per row in each parser; the decode below pays one
@@ -1803,35 +1858,21 @@ int32_t hmmdp_domaindef(
     };
 
     // ---- region scan ----
-    // With device rows every threshold comparison is audited: a value
-    // inside audit_eps of its threshold could flip under the f32 device
-    // decode, so the whole target is redone with the exact host parsers.
-    bool marginal = false;
-    const double aeps = (ext_rows != nullptr) ? audit_eps : 0.0;
-    auto audit = [&](double delta) {
-        if (aeps > 0.0 && std::fabs(delta) < aeps) marginal = true;
-    };
     int istart = -1;
     bool triggered = false;
     int region_idx = 0;
-    for (int jj = 1; jj <= L && !fail && !marginal; jj++) {
+    for (int jj = 1; jj <= L && !fail; jj++) {
         if (!triggered) {
-            double d = mocc[jj] - (btot[jj] - btot[jj - 1]) - rt2;
-            audit(d);
-            if (d < 0.0) istart = jj;
+            if (mocc[jj] - (btot[jj] - btot[jj - 1]) < rt2) istart = jj;
             else if (istart == -1) istart = jj;
-            audit(mocc[jj] - rt1);
             if (mocc[jj] >= rt1) triggered = true;
-        } else if (audit(mocc[jj] - (etot[jj] - etot[jj - 1]) - rt2),
-                   mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2) {
+        } else if (mocc[jj] - (etot[jj] - etot[jj - 1]) < rt2) {
             const int ii = istart;
             nregions++;
             double expected_n = 0.0;
             for (int z = ii; z <= jj; z++)
                 expected_n = std::max(expected_n,
                     std::min(etot[z] - etot[ii - 1], btot[jj] - btot[z]));
-            audit(expected_n - rt3);
-            if (marginal) break;
             if (expected_n >= rt3) {
                 // --- multidomain region: stochastic traceback clustering ---
                 double tt = now_s();
@@ -1991,7 +2032,6 @@ int32_t hmmdp_domaindef(
     double nexpected = etot[L];
     g_arena.release(call_mark);
     delete local_core;
-    if (marginal) return -3;
     out_scalars[0] = fwdsc;
     out_scalars[1] = nexpected;
     out_scalars[2] = nregions;
@@ -2004,6 +2044,104 @@ int32_t hmmdp_domaindef(
 // ABI marker: present iff hmmdp_domaindef takes the ext_rows tail
 // (ops/native.py probes it so a stale .so forces a rebuild)
 int32_t hmmdp_has_ext_rows() { return 1; }
+
+int64_t hmmdp_marginal_count() {
+    return g_ext_marginal.load(std::memory_order_relaxed);
+}
+
+// ---------------------------------------------------------------------------
+// FLogsum-table Forward (E-value calibration scorer)
+// ---------------------------------------------------------------------------
+//
+// HMMER's generic log-space Forward sums through a 16,000-entry lookup
+// of log(1 + exp(-x)) at 1/500-nat resolution (logsum.c, initialized at
+// import in the reference, plan7.pyx:9655).  The truncated-index lookup
+// systematically overestimates every logsum by up to 1/500 nat, which
+// accumulates to the few-tenths-of-a-bit tau offset a real hmmbuild
+// shows vs an exact-logsumexp Forward.  Used ONLY by
+// Builder.calibrate's tau simulation; search paths stay exact.
+
+static const float* flogsum_table() {
+    static float tbl[16000];
+    static std::atomic<bool> init{false};
+    if (!init.load(std::memory_order_acquire)) {
+        for (int i = 0; i < 16000; i++)
+            tbl[i] = (float)std::log(1.0 + std::exp(-(double)i / 500.0));
+        init.store(true, std::memory_order_release);
+    }
+    return tbl;
+}
+
+static inline float flogsum(const float* tbl, float a, float b) {
+    const float mx = a > b ? a : b;
+    const float mn = a > b ? b : a;
+    if (mn <= -5e28f || mx - mn >= 15.7f) return mx;
+    return mx + tbl[(int)((mx - mn) * 500.0f)];
+}
+
+double hmmdp_forward_flogsum(
+    const uint8_t* dsq, int32_t L,
+    const double* tBM, const double* tMM, const double* tIM,
+    const double* tDM, const double* tMD, const double* tDD,
+    const double* tMI, const double* tII,
+    const double* msc, const double* isc,        // [Kp, W] log
+    const double* xE, const double* xN, const double* xJ,
+    const double* xC,
+    int32_t M, int32_t Kp) {
+    (void)Kp;
+    const int W = M + 1;
+    const float* tbl = flogsum_table();
+    const float NEG = -1e30f;
+    float* mrow = new float[W];
+    float* irow = new float[W];
+    float* drow = new float[W];
+    float* nm = new float[W];
+    float* ni = new float[W];
+    float* nd = new float[W];
+    for (int k = 0; k < W; k++) mrow[k] = irow[k] = drow[k] = NEG;
+    float xNv = 0.0f, xBv = (float)xN[1], xJv = NEG, xCv = NEG;
+    const float eJ0 = (float)xE[0], eJ1 = (float)xE[1];
+    const float nloop = (float)xN[0], nmove = (float)xN[1];
+    const float jloop = (float)xJ[0], jmove = (float)xJ[1];
+    const float cloop = (float)xC[0], cmove = (float)xC[1];
+
+    for (int i = 1; i <= L; i++) {
+        const double* ms = msc + (size_t)dsq[i - 1] * W;
+        const double* is = isc + (size_t)dsq[i - 1] * W;
+        nm[0] = ni[0] = nd[0] = NEG;
+        for (int k = 1; k <= M; k++) {
+            // p7_GForward pairing: (MM, IM) then (BM, DM)
+            float mm = mrow[k - 1] + (float)tMM[k - 1];
+            float im = irow[k - 1] + (float)tIM[k - 1];
+            float bm = xBv + (float)tBM[k - 1];
+            float dm = drow[k - 1] + (float)tDM[k - 1];
+            nm[k] = flogsum(tbl, flogsum(tbl, mm, im),
+                            flogsum(tbl, bm, dm)) + (float)ms[k];
+            ni[k] = k < M
+                ? flogsum(tbl, mrow[k] + (float)tMI[k],
+                          irow[k] + (float)tII[k]) + (float)is[k]
+                : NEG;
+            nd[k] = k >= 2
+                ? flogsum(tbl, nm[k - 1] + (float)tMD[k - 1],
+                          nd[k - 1] + (float)tDD[k - 1])
+                : NEG;
+        }
+        float e = NEG;
+        for (int k = 1; k <= M; k++) {
+            e = flogsum(tbl, e, nm[k]);
+            e = flogsum(tbl, e, nd[k]);
+        }
+        xJv = flogsum(tbl, xJv + jloop, e + eJ0);
+        xCv = flogsum(tbl, xCv + cloop, e + eJ1);
+        xNv = xNv + nloop;
+        xBv = flogsum(tbl, xNv + nmove, xJv + jmove);
+        std::swap(mrow, nm); std::swap(irow, ni); std::swap(drow, nd);
+    }
+    double score = (double)xCv + (double)cmove;
+    delete[] mrow; delete[] irow; delete[] drow;
+    delete[] nm; delete[] ni; delete[] nd;
+    return score;
+}
 
 }  // extern "C"
 

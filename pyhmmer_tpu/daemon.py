@@ -21,6 +21,24 @@ HMMER's ``*_Serialize`` helpers.  The vendored C sources are not present
 in the reference snapshot, so byte-level parity with a live ``hmmpgmd``
 cannot be verified here; client and server of *this* package are mutually
 compatible and round-trip tested.
+
+Example (in-process server, one search round trip):
+    >>> from pyhmmer_tpu import daemon
+    >>> from pyhmmer_tpu.plan7 import HMMFile
+    >>> from pyhmmer_tpu.easel import SequenceFile
+    >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+    >>> with HMMFile(DATA + "/hmms/txt/PF02826.hmm") as f:
+    ...     hmm = f.read()
+    >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+    ...                   digital=True) as f:
+    ...     seqs = f.read_block(sequences=300)
+    >>> server = daemon.Server(seqdbs=[seqs], port=0)
+    >>> server.start()
+    >>> with daemon.Client("127.0.0.1", server.port) as client:
+    ...     th = client.search_hmm(hmm)
+    >>> len(th.reported)
+    2
+    >>> server.shutdown()
 """
 
 from __future__ import annotations

@@ -349,15 +349,25 @@ class SequenceFile:
             return
         fh = self._open_lines()
         try:
-            pushback: List[str] = []
+            # one-item lookahead: the residue chunker must SEE the next
+            # record's ">" header to stop, without consuming it -- the
+            # outer loop then reads the same line as the next header
+            # (reference pattern: pyhmmer.utils.peekable in the app
+            # layer's streamed readers)
+            from ..utils import peekable
+            lines = peekable(fh)
 
             def chunks():
                 buf: List[str] = []
                 n = 0
-                for line in fh:
-                    if line.startswith(">"):
-                        pushback.append(line)
+                while True:
+                    try:
+                        line = lines.peek()
+                    except StopIteration:
                         break
+                    if line.startswith(">"):
+                        break
+                    next(lines)
                     piece = "".join(line.split())
                     if piece:
                         buf.append(piece)
@@ -368,12 +378,14 @@ class SequenceFile:
                 if buf:
                     yield "".join(buf)
 
-            header_line = None
-            for line in fh:
-                if line.startswith(">"):
-                    header_line = line
+            while True:
+                header_line = None
+                for line in lines:
+                    if line.startswith(">"):
+                        header_line = line
+                        break
+                if header_line is None:
                     break
-            while header_line is not None:
                 header = header_line[1:].strip()
                 if " " in header:
                     name, desc = header.split(" ", 1)
@@ -387,7 +399,6 @@ class SequenceFile:
                 # drain any unread residue chunks of this record
                 for _ in it:
                     pass
-                header_line = pushback.pop() if pushback else None
         finally:
             fh.close()
 

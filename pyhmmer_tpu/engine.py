@@ -607,8 +607,17 @@ class SearchEngine:
         # region finding.  Ineligible pairs (very long buckets, very
         # large models, nonresidue lanes, no Pallas) keep the classic
         # path.
+        # MEASURED (round 5, tunneled v5e + 2-core host, 3-run A/Bs):
+        # with the rows stage ON the bench reads 3.15 s vs 1.91 s OFF --
+        # the per-pair kernels cost ~1.3 ms of serial device time while
+        # the host parsers they replace cost ~0.17 ms of pool time, and
+        # the [G, L, 4] f64 conversions tax the 2-core host further.  On
+        # this hardware the chip, not the host, is the scarce resource,
+        # so the stage defaults OFF; it stays CI-covered (forced in
+        # tests/test_engine_pallas.py) for hosts where the balance flips
+        # (many cores per chip, or future lower-overhead kernels).
         rows_enabled = (self.use_pallas and native_ok and os.environ.get(
-            "PYHMMER_TPU_DEVICE_ROWS", "1") != "0")
+            "PYHMMER_TPU_DEVICE_ROWS", "0") == "1")
         rows_pending: dict = {}       # (ci, bi) -> [job, ...]
         rows_launched: list = []
         _rows_ok_cache: dict = {}

@@ -72,6 +72,19 @@ def hmmsearch(queries, sequences, *, cpus: int = 0, callback=None,
     default 16M) and per-block results are merged -- peak memory is
     independent of database size, like the reference's streamed worker
     loop (``hmmer/_hmmsearch.py:81-90``).
+
+    Example:
+        >>> from pyhmmer_tpu.plan7 import HMMFile
+        >>> from pyhmmer_tpu.easel import SequenceFile
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with HMMFile(DATA + "/hmms/txt/PF02826.hmm") as f:
+        ...     hmms = list(f)
+        >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+        ...                   digital=True) as f:
+        ...     targets = f.read_block(sequences=300)
+        >>> th = next(hmmsearch(hmms, targets))
+        >>> [h.name for h in th.reported]           # doctest: +ELLIPSIS
+        [b'938293.PRJEB85.HG00368...', b'938293.PRJEB85.HG00368...']
     """
     queries = _query_list(queries)
     if not queries:
@@ -135,6 +148,21 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
     (``pyhmmer.hmmscan``, reference ``hmmer/_hmmscan.py:91-230``).
 
     E-values use Z = number of profiles (``plan7.pyx:5211-5215``).
+
+    Example:
+        >>> from pyhmmer_tpu.plan7 import HMMFile
+        >>> from pyhmmer_tpu.easel import SequenceFile
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with HMMFile(DATA + "/hmms/txt/RREFam.hmm") as f:
+        ...     models = list(f)
+        >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+        ...                   digital=True) as f:
+        ...     seqs = f.read_block(sequences=8)
+        >>> results = list(hmmscan(seqs, models))
+        >>> len(results) == len(seqs)
+        True
+        >>> results[0].Z == float(len(models))   # Z = number of models
+        True
     """
     from ..plan7.profile import Profile as _Profile
     if isinstance(queries, DigitalSequence):
@@ -284,7 +312,18 @@ def phmmer(queries, sequences, *, cpus: int = 0, callback=None,
            builder: Optional[Builder] = None, **options
            ) -> Iterator[TopHits]:
     """Search query sequence(s) against a sequence database
-    (``pyhmmer.phmmer``, reference ``hmmer/_phmmer.py:106-202``)."""
+    (``pyhmmer.phmmer``, reference ``hmmer/_phmmer.py:106-202``).
+
+    Example:
+        >>> from pyhmmer_tpu.easel import SequenceFile
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+        ...                   digital=True) as f:
+        ...     seqs = f.read_block(sequences=30)
+        >>> th = next(phmmer(seqs[0], seqs))
+        >>> th.reported[0].name == seqs[0].name   # best hit = the query
+        True
+    """
     if isinstance(queries, (DigitalSequence, DigitalMSA)):
         queries = [queries]
     queries = list(queries)

@@ -183,6 +183,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hmmdp_viterbi.restype = ctypes.c_double
     lib.hmmdp_phase_get.argtypes = [_D]
     lib.hmmdp_phase_get.restype = None
+    lib.hmmdp_marginal_count.argtypes = []
+    lib.hmmdp_marginal_count.restype = ctypes.c_int64
+    lib.hmmdp_forward_flogsum.argtypes = [
+        _U8, _I32,
+        _D, _D, _D, _D, _D, _D, _D, _D,
+        _D, _D, _D, _D, _D, _D, _I32, _I32]
+    lib.hmmdp_forward_flogsum.restype = ctypes.c_double
     lib.hmmdp_phase_reset.argtypes = []
     lib.hmmdp_phase_reset.restype = None
     _lib = lib
@@ -320,6 +327,24 @@ def fwdbck(prof, dsq: np.ndarray, keep_matrix: bool, backward: bool):
     return ref.ParserResult(score, xN, xB, xE, xC, xJ)
 
 
+def forward_flogsum(prof, dsq: np.ndarray) -> Optional[float]:
+    """Forward score through HMMER's 16k-entry FLogsum table (generic
+    log-space DP, ``logsum.c`` role) -- the E-value calibration scorer.
+    Uses the profile's CURRENT length configuration.  None without the
+    native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pt = get_tensors(prof)
+    dsq8 = np.ascontiguousarray(dsq, dtype=np.uint8)
+    return lib.hmmdp_forward_flogsum(
+        dsq8, int(len(dsq8)),
+        pt.tBM, pt.tMM, pt.tIM, pt.tDM, pt.tMD, pt.tDD, pt.tMI, pt.tII,
+        pt.msc, pt.isc,
+        _clamp2(prof.xE), _clamp2(prof.xN), _clamp2(prof.xJ),
+        _clamp2(prof.xC), pt.M, pt.Kp)
+
+
 def viterbi_score(prof, dsq: np.ndarray) -> Optional[float]:
     """Native multihit Viterbi score in nats with the length model set
     from ``len(dsq)`` (float-exact semantics of
@@ -454,13 +479,15 @@ def prewarm(prof) -> None:
 
 import threading as _threading
 
-#: diagnostic: device-rows domaindef calls that hit the threshold-margin
-#: audit and were transparently redone with the exact host parsers
-_n_marginal = 0
-
 
 def marginal_count() -> int:
-    return _n_marginal
+    """Device-rows domaindef calls that failed the audit prepass and
+    recomputed the exact host parsers inside the same native call
+    (diagnostic; cumulative per process)."""
+    lib = get_lib()
+    if lib is None:
+        return 0
+    return int(lib.hmmdp_marginal_count())
 
 
 _dd_tls = _threading.local()
@@ -556,12 +583,6 @@ def domaindef(prof_multi, dsq: np.ndarray, do_null2: bool, seed: int,
         out_scalars, n2sc, dom_int, dom_dbl, max_dom,
         tr_st, tr_k, tr_i, tr_pp, tr_off, max_tr, pt.core,
         ext_ptr, ext_sc, float(audit_eps) if ext_ptr is not None else 0.0)
-    if ndom == -3:
-        # device rows were threshold-marginal: redo with exact parsers
-        global _n_marginal
-        _n_marginal += 1
-        return domaindef(prof_multi, dsq, do_null2, seed, nsamples,
-                         rt1, rt2, rt3, fwd_min)
     if ndom < 0:
         return None
     domains = []

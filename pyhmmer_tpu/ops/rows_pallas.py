@@ -18,9 +18,12 @@ per grid step** with the model dimension on lanes (state ``[1, Mp]``):
 * the profile's tensors are selected by a scalar-prefetch index
   (``pltpu.PrefetchScalarGridSpec``), so pairs sorted by profile reuse
   the resident VMEM block;
-* the DD chains ride the MXU as ``[1, Mp] x [Mp, Mp]`` transfer-matrix
-  products (forward: pre-shifted ``sdd``; backward: the reverse-chain
-  matrix ``rdd``), exactly the trick of the v2 Forward kernel;
+* the within-row DD chains are **log-doubling linear-recurrence scans
+  over lanes** (first-order recurrence ``nd[k] = u[k] + nd[k-1]*a[k]``
+  solved in ceil(log2 Mp) roll+multiply-add steps against precomputed
+  window-product rows).  A ``[1,Mp] x [Mp,Mp]`` MXU transfer matmul per
+  row was measured ~10x slower here: a 1-row matmul is pure issue
+  latency, and f32-faithful (3-pass bf16) precision tripled it;
 * per-row specials are ``[1, 1]`` scalars; each row's parser specials
   are packed into lane slots of a ``[L+1, 128]`` output block.
 
@@ -35,11 +38,9 @@ instead of 10 specials + 2 scale streams:
               * loop * exp(rsf[i-1] + rsb[i] - fwdsc)        (i = 1..L)
 
 with btot = cumsum(term_b), etot = cumsum(term_e), mocc = 1 - term_w
-(cumsums on the host in float64).  Scores are float32; the engine
-gates with a margin and routes gate-boundary or threshold-marginal
-targets back through the exact host path (`hmmdp_domaindef` returns a
-"marginal" code when any region-finding comparison lands within the
-audit epsilon).
+(cumsums on the host in float64).  Scores are float32; the native side
+audits every region threshold comparison and gate margin against an
+epsilon, recomputing the exact host parsers in-call when marginal.
 """
 
 from __future__ import annotations
@@ -67,6 +68,11 @@ TB, TE, TW = 0, 1, 2
 
 HIGH = jax.lax.Precision.HIGHEST
 
+#: rows tensor slots
+NROWS = 14
+(R_EMM, R_EIM, R_EBM, R_EMI, R_EII, R_EDM, R_BMM, R_BIM, R_BDM, R_BMD,
+ R_KM, R_W0, R_M0, R_EMD) = range(NROWS)
+
 
 def _masks(n=5):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -79,11 +85,11 @@ def _getcol(row, mask):
 
 
 def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
-                   sdd_ref, frows_ref, fsc_ref):
+                   fa_ref, frows_ref, fsc_ref, pack_buf):
     """grid (G,): one survivor pair per step.  State [1, Mp] on lanes."""
     g = pl.program_id(0)
     Mp = ems_ref.shape[2]
-    L = oh_ref.shape[1]
+    T = fa_ref.shape[1]
     length = lens_ref[g]
     lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
     pmove = 3.0 / (lenf + 3.0)
@@ -91,13 +97,14 @@ def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
     move_o = pmove
     log_move = jnp.log(pmove)
 
-    eMMs = rows_ref[0, 0:1, :]
-    eIMs = rows_ref[0, 1:2, :]
-    eBMs = rows_ref[0, 2:3, :]
-    eMIa = rows_ref[0, 3:4, :]
-    eIIa = rows_ref[0, 4:5, :]
-    w_e = rows_ref[0, 5:6, :]
-    sdd = sdd_ref[0]
+    eMMs = rows_ref[0, R_EMM: R_EMM + 1, :]
+    eIMs = rows_ref[0, R_EIM: R_EIM + 1, :]
+    eBMs = rows_ref[0, R_EBM: R_EBM + 1, :]
+    eMIa = rows_ref[0, R_EMI: R_EMI + 1, :]
+    eIIa = rows_ref[0, R_EII: R_EII + 1, :]
+    eDMr = rows_ref[0, R_EDM: R_EDM + 1, :]
+    eMDr = rows_ref[0, R_EMD: R_EMD + 1, :]
+    fa = [fa_ref[0, t: t + 1, :] for t in range(T)]
     mB, mE, mJ, mC, mRS = _masks(5)
 
     one = jnp.ones((1, 1), jnp.float32)
@@ -106,7 +113,7 @@ def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
     frows_ref[0, 0:1, :] = move_o * mB
 
     def strip(s, carry):
-        mrow, irow, j_, c_, n_, logscale = carry
+        mrow, irow, nd, j_, c_, n_, logscale = carry
         oh = oh_ref[0, pl.ds(s * R, R), :]                      # [R, KP]
         ms_strip = jax.lax.dot_general(
             oh, ems_ref[0], (((1,), (0,)), ((), ())),
@@ -120,40 +127,57 @@ def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
             is_ = is_strip[r: r + 1, :]
             # b is a pure function of the carried n/j: b = (n + j) * move
             b_ = (n_ + j_) * move_o
-            ddp = jax.lax.dot_general(
-                mrow, sdd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGH)
+            # previous row's delete states feed this row's matches
+            ddp = pltpu.roll(nd, 1, 1) * eDMr
             rm = pltpu.roll(mrow, 1, 1)
             ri = pltpu.roll(irow, 1, 1)
             nm = ms * (rm * eMMs + ri * eIMs + ddp + b_ * eBMs)
             ni = is_ * (mrow * eMIa + irow * eIIa)
-            e = jnp.sum(nm * w_e, axis=1, keepdims=True)        # [1, 1]
+            # within-row DD chain: nd[k] = u[k] + nd[k-1]*eDD[k-1] as a
+            # log-doubling scan against precomputed window products
+            ndn = pltpu.roll(nm, 1, 1) * eMDr
+            for t in range(T):
+                ndn = ndn + pltpu.roll(ndn, 1 << t, 1) * fa[t]
+            e = (jnp.sum(nm, axis=1, keepdims=True)
+                 + jnp.sum(ndn, axis=1, keepdims=True))          # [1, 1]
             nj = j_ * loop_o + e * 0.5
             nc = c_ * loop_o + e * 0.5
             nn = n_ * loop_o
-            # rescale every row by the live-mass max (bookkeeping exact)
-            mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True),
-                             jnp.maximum(jnp.maximum(nj, nc),
-                                         jnp.maximum(nn, TINY)))
             valid = (i < length)
-            inv = jnp.where(valid, 1.0 / mx, one)
-            nscale = jnp.where(valid, logscale + jnp.log(mx), logscale)
+            # rescale every 4th row: one row's growth is bounded by the
+            # max emission odds (~e^3), so 4 unscaled rows stay far
+            # inside f32 range while the log/divide cost amortizes; the
+            # per-row ``logscale`` bookkeeping stays exact either way
+            if r % 4 == 3 or r == R - 1:
+                mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True),
+                                 jnp.maximum(jnp.maximum(nj, nc),
+                                             jnp.maximum(nn, TINY)))
+                inv = jnp.where(valid, 1.0 / mx, one)
+                nscale = jnp.where(valid, logscale + jnp.log(mx),
+                                   logscale)
+            else:
+                inv = one
+                nscale = logscale
             nj = jnp.where(valid, nj * inv, j_)
             nc = jnp.where(valid, nc * inv, c_)
             nn = jnp.where(valid, nn * inv, n_)
             mrow = jnp.where(valid, nm * inv, mrow)
             irow = jnp.where(valid, ni * inv, irow)
+            nd = jnp.where(valid, ndn * inv, nd)
             j_, c_, n_, logscale = nj, nc, nn, nscale
             nb = (n_ + j_) * move_o
-            packed = (nb * mB + (e * inv) * mE + j_ * mJ + c_ * mC
-                      + logscale * mRS)
-            frows_ref[0, pl.ds(i + 1, 1), :] = packed
-        return (mrow, irow, j_, c_, n_, logscale)
+            # buffer the packed row at a STATIC index; one dynamic
+            # store per strip instead of per row
+            pack_buf[r: r + 1, :] = (nb * mB + (e * inv) * mE + j_ * mJ
+                                     + c_ * mC + logscale * mRS)
+        frows_ref[0, pl.ds(s * R + 1, R), :] = pack_buf[...]
+        return (mrow, irow, nd, j_, c_, n_, logscale)
 
     mrow0 = jnp.zeros((1, Mp), jnp.float32)
     nS = (length + (R - 1)) // R
-    mrow, irow, j_, c_, n_, logscale = jax.lax.fori_loop(
-        0, nS, strip, (mrow0, mrow0, zero, zero, one, zero))
+    carry = jax.lax.fori_loop(
+        0, nS, strip, (mrow0, mrow0, mrow0, zero, zero, one, zero))
+    c_, logscale = carry[4], carry[6]
     score = jnp.where(c_ > 0.0,
                       jnp.log(jnp.maximum(c_, TINY)) + logscale + log_move,
                       NEGMASS)
@@ -161,11 +185,12 @@ def _fwd_rows_body(pidx_ref, lens_ref, oh_ref, ems_ref, eis_ref, rows_ref,
 
 
 def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
-                   ems_ref, eis_ref, rows_ref, rdd_ref,
-                   terms_ref, bsc_ref):
+                   ems_ref, eis_ref, rows_ref, ra_ref,
+                   terms_ref, bsc_ref, pack_buf):
     """grid (G,): backward parser + fused decode terms for one pair."""
     g = pl.program_id(0)
     Mp = ems_ref.shape[2]
+    T = ra_ref.shape[1]
     length = lens_ref[g]
     lenf = jnp.maximum(length.astype(jnp.float32), 1.0)
     pmove = 3.0 / (lenf + 3.0)
@@ -173,17 +198,16 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
     move_o = pmove
     log_loop = jnp.log1p(-pmove)
 
-    eBMs = rows_ref[0, 2:3, :]
-    eMIa = rows_ref[0, 3:4, :]
-    eIIa = rows_ref[0, 4:5, :]
-    bMM = rows_ref[0, 6:7, :]
-    bIM = rows_ref[0, 7:8, :]
-    bDM = rows_ref[0, 8:9, :]
-    bMD = rows_ref[0, 9:10, :]
-    kmrow = rows_ref[0, 10:11, :]
-    w0row = rows_ref[0, 11:12, :]
-    m0row = rows_ref[0, 12:13, :]
-    rdd = rdd_ref[0]
+    eBMs = rows_ref[0, R_EBM: R_EBM + 1, :]
+    eMIa = rows_ref[0, R_EMI: R_EMI + 1, :]
+    eIIa = rows_ref[0, R_EII: R_EII + 1, :]
+    bMM = rows_ref[0, R_BMM: R_BMM + 1, :]
+    bIM = rows_ref[0, R_BIM: R_BIM + 1, :]
+    bDM = rows_ref[0, R_BDM: R_BDM + 1, :]
+    bMD = rows_ref[0, R_BMD: R_BMD + 1, :]
+    kmrow = rows_ref[0, R_KM: R_KM + 1, :]
+    m0row = rows_ref[0, R_M0: R_M0 + 1, :]
+    ra = [ra_ref[0, t: t + 1, :] for t in range(T)]
     mB, mE, mJ, mC, mRS = _masks(5)
     mTB, mTE, mTW = mB, mE, mJ
 
@@ -192,13 +216,13 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
     fwdsc = _getcol(fsc_ref[0, 0:1, :], mB)
 
     # init state = parser row at i = len: c = move, e = move/2, rows from
-    # the closing DD chain (e * w0 / e * m0), everything else 0
+    # the closing DD chain (e * m0), everything else 0
     e_init = move_o * 0.5
 
-    def strip_rev(t, carry):
+    def strip_rev(t_, carry):
         mrow, irow, j_, c_, n_, b_, logscale = carry
         nS = (length + (R - 1)) // R
-        s = nS - 1 - t
+        s = nS - 1 - t_
         oh = oh_ref[0, pl.ds(s * R, R), :]
         ms_strip = jax.lax.dot_general(
             oh, ems_ref[0], (((1,), (0,)), ((), ())),
@@ -206,6 +230,9 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
         is_strip = jax.lax.dot_general(
             oh, eis_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGH)
+        # one dynamic load of the strip's forward rows (indices
+        # s*R .. s*R+R); per-row access below is static
+        fr_strip = frows_ref[0, pl.ds(s * R, R + 1), :]
         for rr in range(R):
             r = R - 1 - rr
             i = s * R + r                  # update -> state at row i
@@ -223,8 +250,8 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
             logscale = jnp.where(pinned, zero, logscale)
 
             # ---- emit decode terms for row i+1 (state = bck @ i+1) ----
-            fr1 = frows_ref[0, pl.ds(i + 1, 1), :]
-            fr0 = frows_ref[0, pl.ds(i, 1), :]
+            fr1 = fr_strip[r + 1: r + 2, :]
+            fr0 = fr_strip[r: r + 1, :]
             rsf1 = _getcol(fr1, mRS)
             rsf0 = _getcol(fr0, mRS)
             ex1 = jnp.exp(rsf1 + logscale - fwdsc)
@@ -233,15 +260,14 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
             t_e = _getcol(fr1, mE) * e_st * ex1
             # N-chain forward mass: fN[i] = exp(i*log_loop - rsf[i]), so
             # the rsf cancels inside the N term
-            i_f = jnp.asarray(i, jnp.float32).reshape(1, 1)
+            i_f = jnp.reshape((s * R + r).astype(jnp.float32), (1, 1))
             t_w = ((jnp.exp(i_f * log_loop + logscale - fwdsc) * n_
                     + (_getcol(fr0, mJ) * j_ + _getcol(fr0, mC) * c_)
                     * ex0) * loop_o)
             emit = ((i + 1) <= length)
-            packed = jnp.where(
+            pack_buf[r: r + 1, :] = jnp.where(
                 emit, t_b * mTB + t_e * mTE + t_w * mTW,
                 jnp.zeros((1, 128), jnp.float32))
-            terms_ref[0, pl.ds(i + 1, 1), :] = packed
 
             # ---- update to row i ----
             ms = ms_strip[r: r + 1, :]
@@ -252,17 +278,25 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
             nc = c_ * loop_o
             nn = n_ * loop_o + b * move_o
             ne = 0.5 * (nj + nc)
-            u = t_roll * bDM
-            nd = jax.lax.dot_general(
-                u, rdd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=HIGH) + ne * w0row
+            # reverse DD chain nd[k] = v[k] + nd[k+1]*eDD[k] as a
+            # reverse log-doubling scan
+            ndn = ne * kmrow + t_roll * bDM
+            for t in range(T):
+                ndn = ndn + pltpu.roll(ndn, Mp - (1 << t), 1) * ra[t]
             nm = (ne * kmrow + t_roll * bMM + irow * eMIa * is_
-                  + pltpu.roll(nd, Mp - 1, 1) * bMD)
+                  + pltpu.roll(ndn, Mp - 1, 1) * bMD)
             ni = t_roll * bIM + irow * eIIa * is_
-            mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True), TINY)
-            inv = jnp.where(live, 1.0 / mx, one)
-            nscale = jnp.where(live, logscale + jnp.log(mx), logscale)
+            # every-4th-row rescale (see the forward kernel): backward
+            # mass decays, 4 unscaled rows stay far above f32 underflow
+            if r % 4 == 0:
+                mx = jnp.maximum(jnp.max(nm, axis=1, keepdims=True),
+                                 TINY)
+                inv = jnp.where(live, 1.0 / mx, one)
+                nscale = jnp.where(live, logscale + jnp.log(mx),
+                                   logscale)
+            else:
+                inv = one
+                nscale = logscale
             mrow = jnp.where(live, nm * inv, mrow)
             irow = jnp.where(live, ni * inv, irow)
             j_ = jnp.where(live, nj * inv, j_)
@@ -270,6 +304,7 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
             n_ = jnp.where(live, nn * inv, n_)
             b_ = jnp.where(live, b * inv, b_)
             logscale = nscale
+        terms_ref[0, pl.ds(s * R + 1, R), :] = pack_buf[...]
         return (mrow, irow, j_, c_, n_, b_, logscale)
 
     mrow0 = jnp.zeros((1, Mp), jnp.float32)
@@ -287,7 +322,35 @@ def _bck_rows_body(pidx_ref, lens_ref, oh_ref, frows_ref, fsc_ref,
     bsc_ref[0, 0:1, :] = bscore * mB
 
 
-NROWS = 13
+def _window_products(a: np.ndarray, T: int, reverse: bool) -> np.ndarray:
+    """Window-product rows for the log-doubling scans.
+
+    Forward (reverse=False): ``P[t, s] = prod_{m=s-2^t+1}^{s} a[m]``
+    (the factor applied to the rolled partial in step t), 0 when the
+    window leaves [0, Mp).  Reverse: ``P[t, s] = prod_{m=s}^{s+2^t-1}``.
+    Computed in log space with an explicit zero-count so hard zeros in
+    ``a`` (model boundaries, padding) stay exact zeros."""
+    Mp = len(a)
+    la = np.where(a > 0, np.log(np.maximum(a, 1e-300)), 0.0)
+    za = (a <= 0).astype(np.int64)
+    cl = np.concatenate([[0.0], np.cumsum(la)])
+    cz = np.concatenate([[0], np.cumsum(za)])
+    out = np.zeros((T, Mp))
+    s = np.arange(Mp)
+    for t in range(T):
+        w = 1 << t
+        if reverse:
+            lo, hi = s, s + w
+            ok = hi <= Mp
+        else:
+            lo, hi = s - w + 1, s + 1
+            ok = lo >= 0
+        lo_c = np.clip(lo, 0, Mp)
+        hi_c = np.clip(hi, 0, Mp)
+        prod = np.exp(cl[hi_c] - cl[lo_c])
+        nz = cz[hi_c] - cz[lo_c]
+        out[t] = np.where(ok & (nz == 0), prod, 0.0)
+    return out
 
 
 def build_rows_tensors(pb) -> dict:
@@ -298,12 +361,13 @@ def build_rows_tensors(pb) -> dict:
     from .batch import round_up
     P = pb.P
     Mp = max(128, round_up(pb.Mp, 128))
+    T = max(1, int(np.ceil(np.log2(Mp))))
     Kp = pb.Kp
     ems = np.zeros((P, KP_PAD, Mp), np.float32)
     eis = np.zeros((P, KP_PAD, Mp), np.float32)
     rows = np.zeros((P, NROWS, Mp), np.float32)
-    sdd = np.zeros((P, Mp, Mp), np.float32)
-    rdd = np.zeros((P, Mp, Mp), np.float32)
+    fa = np.zeros((P, T, Mp), np.float32)
+    ra = np.zeros((P, T, Mp), np.float32)
 
     def xexp(a):
         a = np.asarray(a, np.float64)
@@ -322,80 +386,68 @@ def build_rows_tensors(pb) -> dict:
         tMI = np.where(np.isfinite(prof.tMI), prof.tMI, -np.inf)
         tII = np.where(np.isfinite(prof.tII), prof.tII, -np.inf)
         # forward slots (slot s = model state s+1, like fwd_pallas)
-        rows[i, 0, 1:M] = xexp(tMM[1:M])         # eMMs
-        rows[i, 1, 1:M] = xexp(tIM[1:M])         # eIMs
-        rows[i, 2, :M] = xexp(tBM[:M])           # eBMs
-        rows[i, 3, : M - 1] = xexp(tMI[1:M])     # eMIa
-        rows[i, 4, : M - 1] = xexp(tII[1:M])     # eIIa
-        # DD-chain transfer (same math as fwd_pallas.build_fwd_tensors):
-        # Tdd[j_slot, k_slot] = exp(tMD[j] + sum_{m=j+1}^{k-1} tDD[m])
-        c = np.zeros(M + 1)
-        if M >= 2:
-            c[2:] = np.cumsum(tDD[1:M])
-        j = np.arange(1, M)
-        with np.errstate(invalid="ignore"):
-            logT = (tMD[j][:, None] + c[None, 2: M + 1]
-                    - c[j + 1][:, None])
-        mask = (j[:, None] < np.arange(2, M + 1)[None, :])
-        tdd_block = xexp(np.where(mask, logT, -np.inf))   # [M-1, M-1]
-        tdd_mat = np.zeros((Mp, Mp))
-        tdd_mat[: M - 1, 1: M] = tdd_block
-        # pre-shifted eDM-scaled transfer: the per-row DD-path matmul
-        # consumes the previous row's match vector (fwd_pallas v2 trick):
-        # sdd[j_slot, k_slot] = eDM[k] * Tdd[j_slot, k_slot - 1]
-        eDM_slot = np.zeros(Mp)
-        eDM_slot[1:M] = xexp(tDM[1:M])
-        sdd[i, :, 1:] = eDM_slot[None, 1:] * tdd_mat[:, : Mp - 1]
-        rows[i, 5, :M] = 1.0 + tdd_mat.sum(axis=1)[:M]   # w_e
+        rows[i, R_EMM, 1:M] = xexp(tMM[1:M])
+        rows[i, R_EIM, 1:M] = xexp(tIM[1:M])
+        rows[i, R_EBM, :M] = xexp(tBM[:M])
+        rows[i, R_EMI, : M - 1] = xexp(tMI[1:M])
+        rows[i, R_EII, : M - 1] = xexp(tII[1:M])
+        # D_s -> M_{s+1} (applied to the rolled previous-row nd) and
+        # M_s -> D_{s+1} (the u term of the within-row DD scan)
+        rows[i, R_EDM, 1:M] = xexp(tDM[1:M])
+        rows[i, R_EMD, 1:M] = xexp(tMD[1:M])
         # backward slots: coefficient at slot s belongs to state k = s+1
-        rows[i, 6, : M - 1] = xexp(tMM[1:M])      # bMM[s] = eMM[s+1]
-        rows[i, 7, : M - 1] = xexp(tIM[1:M])      # bIM
-        rows[i, 8, : M - 1] = xexp(tDM[1:M])      # bDM
-        rows[i, 9, : M - 1] = xexp(tMD[1:M])      # bMD
-        rows[i, 10, :M] = 1.0                     # kmask
-        # e-coefficient / init chains: nd1[M] = 1,
-        # nd1[k] = 1 + nd1[k+1]*eDD[k]
+        rows[i, R_BMM, : M - 1] = xexp(tMM[1:M])
+        rows[i, R_BIM, : M - 1] = xexp(tIM[1:M])
+        rows[i, R_BDM, : M - 1] = xexp(tDM[1:M])
+        rows[i, R_BMD, : M - 1] = xexp(tMD[1:M])
+        rows[i, R_KM, :M] = 1.0
+        # init chains: nd1[M] = 1, nd1[k] = 1 + nd1[k+1]*eDD[k]
         eDD = xexp(tDD)
         nd1 = np.zeros(M + 2)
         nd1[M] = 1.0
         for k in range(M - 1, 0, -1):
             nd1[k] = 1.0 + nd1[k + 1] * eDD[k]
-        rows[i, 11, :M] = nd1[1: M + 1]           # w0row
+        rows[i, R_W0, :M] = nd1[1: M + 1]
         m0 = np.ones(M + 1)
         eMD = xexp(tMD)
         for k in range(1, M):
             m0[k] = 1.0 + nd1[k + 1] * eMD[k]
-        rows[i, 12, :M] = m0[1: M + 1]            # m0row
-        # reverse DD chain matrix: rdd[j_slot, k_slot] =
-        # prod_{m=k}^{j-1} eDD[m] for state j >= k (coefficient of
-        # u[j] in nd[k]); diagonal = 1
-        cr = np.zeros(M + 2)
-        for x in range(1, M):
-            cr[x + 1] = cr[x] + (np.log(eDD[x]) if eDD[x] > 0
-                                 else -np.inf)
-        cr[M + 1] = -np.inf     # no DD step out of state M
-        jj = np.arange(1, M + 1)
-        with np.errstate(invalid="ignore"):
-            logR = cr[jj][:, None] - cr[jj][None, :]   # [j, k] = c[j]-c[k]
-        maskR = jj[:, None] >= jj[None, :]
-        rdd[i, :M, :M] = xexp(np.where(maskR, logR, -np.inf))
+        rows[i, R_M0, :M] = m0[1: M + 1]
+        # DD-chain scan coefficients: forward a[s] = eDD[s] (D_s ->
+        # D_{s+1}, slots 1..M-1); reverse ar[s] = eDD[s+1]
+        a = np.zeros(Mp)
+        a[1:M] = eDD[1:M]
+        fa[i] = _window_products(a, T, reverse=False)
+        ar = np.zeros(Mp)
+        ar[: M - 1] = eDD[1:M]
+        ra[i] = _window_products(ar, T, reverse=True)
 
-    out = {"Mp": Mp,
+    # truncate the scans where the window products vanish: DD-run mass
+    # decays geometrically, so windows beyond ~2^4..2^6 contribute less
+    # than 1e-8 of a row and their doubling steps are dead work
+    T_eff = 1
+    for t in range(T):
+        if fa[:, t].max() >= 1e-8 or ra[:, t].max() >= 1e-8:
+            T_eff = t + 1
+    fa = fa[:, :T_eff]
+    ra = ra[:, :T_eff]
+    out = {"Mp": Mp, "T": T_eff,
            "ems": jnp.asarray(ems), "eis": jnp.asarray(eis),
            "rows": jnp.asarray(rows),
-           "sdd": jnp.asarray(sdd), "rdd": jnp.asarray(rdd)}
+           "fa": jnp.asarray(fa), "ra": jnp.asarray(ra)}
     pb._device_cache["rowsp"] = out
     return out
 
 
 @partial(jax.jit, static_argnames=("Lp", "Mp"))
-def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
+def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, fa, ra, Lp, Mp):
     """Chained fwd-rows + bck-rows kernels for a padded pair batch.
 
     Returns (terms [G, Lp+1, 4] f32, fsc [G] f32, bsc [G] f32); the
     forward parser rows stay on device between the two kernels."""
     G = pidx.shape[0]
     Lp1 = Lp + 1
+    T = fa.shape[1]
     grid_f = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
@@ -408,7 +460,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NROWS, Mp), lambda g, p, l: (p[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Mp), lambda g, p, l: (p[g], 0, 0),
+            pl.BlockSpec((1, T, Mp), lambda g, p, l: (p[g], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -417,6 +469,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
             pl.BlockSpec((1, 1, 128), lambda g, p, l: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32)],
     )
     frows, fsc = pl.pallas_call(
         _fwd_rows_body,
@@ -426,7 +479,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
             jax.ShapeDtypeStruct((G, 1, 128), jnp.float32),
         ),
         interpret=_INTERPRET,
-    )(pidx, lens, oh, ems, eis, rows, sdd)
+    )(pidx, lens, oh, ems, eis, rows, fa)
 
     grid_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -444,7 +497,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NROWS, Mp), lambda g, p, l: (p[g], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Mp), lambda g, p, l: (p[g], 0, 0),
+            pl.BlockSpec((1, T, Mp), lambda g, p, l: (p[g], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -453,6 +506,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
             pl.BlockSpec((1, 1, 128), lambda g, p, l: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32)],
     )
     terms, bsc = pl.pallas_call(
         _bck_rows_body,
@@ -462,7 +516,7 @@ def _survivor_rows_impl(pidx, lens, oh, ems, eis, rows, sdd, rdd, Lp, Mp):
             jax.ShapeDtypeStruct((G, 1, 128), jnp.float32),
         ),
         interpret=_INTERPRET,
-    )(pidx, lens, oh, frows, fsc, ems, eis, rows, rdd)
+    )(pidx, lens, oh, frows, fsc, ems, eis, rows, ra)
     return terms[:, :, :4], fsc[:, 0, 0], bsc[:, 0, 0]
 
 
@@ -501,16 +555,14 @@ def survivor_rows(pb, dev, pair_p: np.ndarray, pair_b: np.ndarray):
                                    jnp.asarray(ridx), Lp)
     terms, fsc, bsc = _survivor_rows_impl(
         jnp.asarray(pidx), lens, oh, t["ems"], t["eis"], t["rows"],
-        t["sdd"], t["rdd"], Lp, t["Mp"])
+        t["fa"], t["ra"], Lp, t["Mp"])
     return terms, fsc, bsc, order[:n]
 
 
 def _pad_g(n: int) -> int:
     # coarse ladder: padded pairs have length 0 (their whole row scan is
     # skipped), so over-padding is near-free device-side, while each
-    # distinct (G, Lp, Mp) triple is a fresh XLA compile -- 3 levels
-    # bound the shape count without inflating the HBM row buffers
-    # (G x (L+1) x 128 f32 x 2 kernels) too far
+    # distinct (G, Lp, Mp) triple is a fresh XLA compile
     for b in (32, 128, 512):
         if n <= b:
             return b

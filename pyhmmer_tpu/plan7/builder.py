@@ -434,7 +434,23 @@ class Builder:
         vmu = gumbel_fit_complete_loc(vit, lam)
 
         codes, lens, nullsc = sample_batch(self.EfL, self.EfN)
-        fwd = (OB.forward_scores(pb, codes, lens)[0] - nullsc) / LOG2
+        # tau scoring goes through HMMER's FLogsum 16k-entry table
+        # (logsum.c, init at plan7.pyx:9655): the truncated-index lookup
+        # overestimates every logsum by up to 1/500 nat, and a real
+        # hmmbuild's tau carries that accumulated offset -- an exact
+        # logsumexp Forward here calibrates tau a few tenths of a bit
+        # low (round-4 verdict #6; validated on the bundled LuxC
+        # evparams, tests/test_calibration.py).
+        from ..ops import native as _native
+        if _native.available():
+            prof_f = Profile(hmm.M, hmm.alphabet).configure(
+                hmm, background, self.EfL)
+            fwd = np.array([
+                _native.forward_flogsum(prof_f, codes[i])
+                for i in range(len(codes))])
+            fwd = (fwd - nullsc) / LOG2
+        else:
+            fwd = (OB.forward_scores(pb, codes, lens)[0] - nullsc) / LOG2
         srt = np.sort(fwd)[::-1]
         ntail = max(2, int(round(self.Eft * len(srt))))
         mu_tail, _tail_lam = exp_fit_complete(srt[:ntail])

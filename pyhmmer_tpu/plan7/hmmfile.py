@@ -48,7 +48,21 @@ def _prob(tok: str) -> float:
 
 
 class HMMFile:
-    """Iterator over the HMMs in a file (path or binary file object)."""
+    """Iterator over the HMMs in a file (path or binary file object).
+
+    Reads HMMER3 ASCII (``HMMER3/a``..``f``), HMMER2 ASCII, and binary
+    ``.h3m``; see :meth:`optimized_profiles` for pressed databases.
+
+    Example:
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with HMMFile(DATA + "/hmms/txt/LuxC.hmm") as f:
+        ...     hmm = f.read()
+        >>> hmm.name, hmm.M
+        (b'LuxC', 400)
+        >>> with HMMFile(DATA + "/hmms/db/RREFam.hmm") as f:
+        ...     f.is_pressed()
+        True
+    """
 
     def __init__(self, file: Union[str, os.PathLike, BinaryIO],
                  db: bool = True):

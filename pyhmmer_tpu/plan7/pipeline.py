@@ -64,7 +64,25 @@ F2_SKIP_SLACK = 4.0
 
 
 class Pipeline:
-    """A profile/sequence comparison pipeline (search or scan mode)."""
+    """A profile/sequence comparison pipeline (search or scan mode).
+
+    Example:
+        >>> from pyhmmer_tpu.easel.alphabet import Alphabet
+        >>> from pyhmmer_tpu.easel import SequenceFile
+        >>> from pyhmmer_tpu.plan7 import HMMFile, Pipeline
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with HMMFile(DATA + "/hmms/txt/PF02826.hmm") as f:
+        ...     hmm = f.read()
+        >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+        ...                   digital=True) as f:
+        ...     targets = f.read_block(sequences=300)
+        >>> pli = Pipeline(Alphabet.amino(), E=1e-3)
+        >>> th = pli.search_hmm(hmm, targets)
+        >>> th.searched_sequences, len(th.reported)
+        (300, 2)
+        >>> pli.arguments()     # daemon-protocol CLI serialization
+        ['-E', '0.001']
+    """
 
     def __init__(
         self,

@@ -177,7 +177,30 @@ class Hit:
 
 
 class TopHits:
-    """Collection of hits + pipeline accounting for E-values/thresholds."""
+    """Collection of hits + pipeline accounting for E-values/thresholds.
+
+    Example:
+        >>> import io
+        >>> from pyhmmer_tpu.easel import SequenceFile
+        >>> from pyhmmer_tpu.plan7 import HMMFile
+        >>> from pyhmmer_tpu import hmmer
+        >>> DATA = "/root/reference/src/pyhmmer/tests/data"
+        >>> with HMMFile(DATA + "/hmms/txt/Thioesterase.hmm") as f:
+        ...     hmm = f.read()
+        >>> with SequenceFile(DATA + "/seqs/938293.PRJEB85.HG003687.faa",
+        ...                   digital=True) as f:
+        ...     a = f.read_block(sequences=150)
+        ...     b = f.read_block(sequences=150)
+        >>> ta = next(hmmer.hmmsearch(hmm, a))
+        >>> tb = next(hmmer.hmmsearch(hmm, b))
+        >>> merged = ta.merge(tb)     # sums auto-Z, re-thresholds
+        >>> merged.Z
+        300.0
+        >>> out = io.StringIO()
+        >>> merged.write(out, format="targets")   # --tblout format
+        >>> out.getvalue().startswith("#")
+        True
+    """
 
     def __init__(self, pipeline=None):
         self.hits: List[Hit] = []

@@ -14,6 +14,15 @@ MODULES = [
     "pyhmmer_tpu.plan7.fitting",
     "pyhmmer_tpu.plan7.evalues",
     "pyhmmer_tpu.utils",
+    # user-facing API (round-4 verdict #9): the app layer, pipeline,
+    # results, model I/O, pressed DBs, and the daemon all carry
+    # executable examples against the bundled reference fixtures
+    "pyhmmer_tpu.hmmer",
+    "pyhmmer_tpu.plan7.pipeline",
+    "pyhmmer_tpu.plan7.results",
+    "pyhmmer_tpu.plan7.hmmfile",
+    "pyhmmer_tpu.plan7.pressed",
+    "pyhmmer_tpu.daemon",
 ]
 
 

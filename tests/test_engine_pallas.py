@@ -81,6 +81,7 @@ def test_engine_pallas_forced_rows(data_dir, monkeypatch):
     ops.rows_pallas path demonstrably produced the reported hits."""
     monkeypatch.setenv("PYHMMER_TPU_SPEC_P1B", "-1")
     monkeypatch.setenv("PYHMMER_TPU_HOST_BUDGET", "0")
+    monkeypatch.setenv("PYHMMER_TPU_DEVICE_ROWS", "1")
     with HMMFile(data_dir / "hmms" / "txt" / "PF02826.hmm") as f:
         hmms = list(f)
     with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",

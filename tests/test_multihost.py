@@ -86,3 +86,59 @@ def test_degenerate_single_process(search_result):
     assert multihost.initialize() == 1     # no-op without NPROC
     assert multihost.allgather_bytes(
         np.arange(5, dtype=np.uint8))[0].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_two_process_multihost(data_dir, tmp_path):
+    """The real nproc>1 branch, actually executed: two subprocesses
+    initialize jax.distributed on a localhost coordinator (CPU
+    platform), each searches its residue-balanced shard, the partials
+    are allgathered over the collective fabric and merged -- every rank
+    must produce the identical reported table, equal to the
+    single-process search."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    ntargets = 400
+    with HMMFile(data_dir / "hmms" / "txt" / "PF02826.hmm") as f:
+        hmms = list(f)
+    with SequenceFile(data_dir / "seqs" / "938293.PRJEB85.HG003687.faa",
+                      digital=True) as f:
+        full = f.read_block()
+    targets = DigitalSequenceBlock(hmms[0].alphabet,
+                                   list(full)[:ntargets])
+    single = SearchEngine(hmms[0].alphabet).search(hmms, targets)
+    want = [[h.name.decode(), round(h.score, 9), round(h.evalue, 12),
+             h.included] for h in single[0].reported]
+    assert want, "workload must produce hits"
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    import os as _os
+    worker = _os.path.join(_os.path.dirname(__file__),
+                           "_multihost_worker.py")
+    outs = [tmp_path / f"rank{p}.json" for p in range(2)]
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(p), "2", str(port),
+         str(ntargets), str(outs[p])],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    for p, proc in enumerate(procs):
+        try:
+            _, err = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert proc.returncode == 0, (p, err.decode()[-2000:])
+
+    for p in range(2):
+        rows = json.loads(outs[p].read_text())
+        got, acct = rows[0], rows[1]
+        assert got == want, (p, got[:3], want[:3])
+        # merged accounting: summed auto-Z equals the full target count
+        assert acct[0] == float(ntargets) and acct[1] == ntargets
