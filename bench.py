@@ -87,10 +87,25 @@ def load_queries(scale: float = 1.0):
         with HMMFile(path) as f:
             base.extend(list(f))
 
+    # calibrated evparams for the tiled variants (round-4 verdict #7):
+    # inherited parent params mis-state the variants' score null
+    # distributions by up to ~2.8 bits of tau, skewing filter pass
+    # rates.  The cache is generated once by Builder.calibrate on each
+    # variant (deterministic tiling + seed) -- see bench_evparams.json.
+    calib = {}
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_evparams.json")
+    if os.path.exists(cache):
+        calib = json.load(open(cache))
+
     models = list(base)
     for h in base:
         for M_new in VARIANT_SPEC.get(h.name, ()):
-            models.append(length_variant(h, M_new))
+            v = length_variant(h, M_new)
+            ev = calib.get(v.name.decode())
+            if ev is not None:
+                v.evparam[:] = ev
+            models.append(v)
 
     def weight(M):
         # Pfam v33.1-like length mix: strongly skewed toward short
@@ -121,11 +136,15 @@ def load_queries(scale: float = 1.0):
 def bench_hmmscan(queries, targets, runs=3):
     """hmmscan transpose on the same workload: every target sequence
     scanned against the full model stack (engine transpose, Z=nmodels).
-    Shares the hmmsearch kernel shapes, so no extra compile cost."""
+    Shares the hmmsearch kernel shapes (no extra compile cost) and the
+    serving pattern (one resident engine, reused across calls)."""
     from pyhmmer_tpu import hmmer as H
+    from pyhmmer_tpu.engine import SearchEngine
+
+    eng = SearchEngine(queries[0].alphabet)
 
     def run():
-        return list(H.hmmscan(targets, queries))
+        return list(H.hmmscan(targets, queries, engine=eng))
 
     run()                                   # warm (engine cache)
     times = []
@@ -253,7 +272,10 @@ def main():
         "workload": {"nqueries": len(queries),
                      "distinct_M": len(set(Ms)),
                      "mean_M": round(sum(Ms) / len(Ms), 1),
-                     "ntargets": len(targets)},
+                     "ntargets": len(targets),
+                     "variants_calibrated": os.path.exists(os.path.join(
+                         os.path.dirname(os.path.abspath(__file__)),
+                         "bench_evparams.json"))},
         "extra_metrics": extra,
         "stages": stages or {},
     }))

@@ -1369,6 +1369,34 @@ int32_t stotrace_odds(
         double bl = xBv[i2] - rsc[i2];
         exB[i2] = bl > -690.0 ? std::exp(std::min(bl, 690.0)) : 0.0;
     }
+    // Hoisted special-state selection probabilities: the C / J / B
+    // draws are binary choices between LOG-space options, and the
+    // two-exp `choose` per residue step dominated the whole ensemble
+    // (hundreds of C/J dwell steps x 200 samples x 2 exp each).  The
+    // per-row probability P(option 0) is sample-independent, so ONE
+    // vectorizable pass per region replaces every in-loop
+    // transcendental; the RNG stream and decisions are unchanged
+    // (u*tot <= e0  <=>  u <= e0/tot, up to 1-ulp boundaries).
+    // p > 1.5 is the "degenerate" sentinel: choose() picks option 0
+    // WITHOUT consuming a draw when both options are -inf, and the
+    // replacement must keep the RNG stream bit-identical
+    auto p0_of = [](double o0, double o1) -> double {
+        double mx = std::max(o0, o1);
+        if (mx <= -5e29) return 2.0;
+        double e0 = o0 > -5e29 ? std::exp(o0 - mx) : 0.0;
+        double e1 = o1 > -5e29 ? std::exp(o1 - mx) : 0.0;
+        return e0 / (e0 + e1);
+    };
+    double* pC = new double[L + 1];
+    double* pJ = new double[L + 1];
+    double* pB = new double[L + 1];
+    for (int i2 = 0; i2 <= L; i2++) {
+        pC[i2] = p0_of(i2 > 0 ? xCv[i2 - 1] + xC[0] : NEGMASS,
+                       xEv[i2] + xE[1]);
+        pJ[i2] = p0_of(i2 > 0 ? xJv[i2 - 1] + xJ[0] : NEGMASS,
+                       xEv[i2] + xE[0]);
+        pB[i2] = p0_of(xNv[i2] + xN[1], xJv[i2] + xJ[1]);
+    }
     int nspans = 0;
 
     for (int s = 0; s < nsamples; s++) {
@@ -1378,11 +1406,8 @@ int32_t stotrace_odds(
         while (guard-- > 0) {
             if (i < 0 || k < 0 || k > M) break;
             if ((state == 2 || state == 4) && i < 1) break;
-            if (state == 0) {          // C (log specials)
-                double o0 = i > 0 ? xCv[i - 1] + xC[0] : NEGMASS;
-                double o1 = xEv[i] + xE[1];
-                double two[2] = {o0, o1};
-                if (choose(rng, two, 2) == 0) i--;
+            if (state == 0) {          // C (hoisted probabilities)
+                if (pC[i] > 1.5 || rng.uniform() <= pC[i]) i--;
                 else state = 1;
             } else if (state == 1) {   // E: odds row i, exp-free
                 end_i = i;
@@ -1415,21 +1440,22 @@ int32_t stotrace_odds(
                     if (tot > 0) {
                         // hoist the per-position M-dot into one table per
                         // residue type (identical sums, ~7x fewer ops:
-                        // K x M instead of span_len x M)
-                        double corex[64];
+                        // K x M instead of span_len x M), and take the
+                        // log once per TYPE instead of once per position
+                        double lcorex[64];
                         for (int x = 0; x < K; x++) {
                             double v = 0;
                             const double* om_ = odds_m + (size_t)x * W;
                             const double* oi_ = odds_i + (size_t)x * W;
                             for (int kk = 1; kk <= M; kk++)
                                 v += uM[kk] * om_[kk] + uI[kk] * oi_[kk];
-                            corex[x] = v / tot;
+                            v /= tot;
+                            lcorex[x] = v > 1e-30 ? std::log(v) : -69.0;
                         }
                         for (int pos = i + 1; pos <= end_i; pos++) {
                             uint8_t x = dsq[pos - 1];
                             if (x >= K) continue;
-                            double val = corex[x];
-                            n2acc[pos] += val > 1e-30 ? std::log(val) : -69.0;
+                            n2acc[pos] += lcorex[x];
                         }
                     }
                     state = 5;
@@ -1451,16 +1477,10 @@ int32_t stotrace_odds(
                 double two[2] = {w0, w1};
                 i--;
                 if (choose_lin(rng, two, 2) == 0) state = 2;
-            } else if (state == 5) {   // B (log specials)
-                double o0 = xNv[i] + xN[1];
-                double o1 = xJv[i] + xJ[1];
-                double two[2] = {o0, o1};
-                state = choose(rng, two, 2) == 0 ? 7 : 6;
+            } else if (state == 5) {   // B (hoisted probabilities)
+                state = (pB[i] > 1.5 || rng.uniform() <= pB[i]) ? 7 : 6;
             } else if (state == 6) {   // J
-                double o0 = i > 0 ? xJv[i - 1] + xJ[0] : NEGMASS;
-                double o1 = xEv[i] + xE[0];
-                double two[2] = {o0, o1};
-                if (choose(rng, two, 2) == 0) i--;
+                if (pJ[i] > 1.5 || rng.uniform() <= pJ[i]) i--;
                 else state = 1;
             } else {                   // N
                 if (i == 0) break;
@@ -1469,6 +1489,7 @@ int32_t stotrace_odds(
         }
     }
     delete[] uM; delete[] uI; delete[] lp; delete[] exB;
+    delete[] pC; delete[] pJ; delete[] pB;
     return nspans;
 }
 

@@ -143,7 +143,7 @@ def _hmmsearch_streamed(queries, seqfile: SequenceFile, alphabet,
 
 
 def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
-            background=None, **options) -> Iterator[TopHits]:
+            background=None, engine=None, **options) -> Iterator[TopHits]:
     """Scan sequence(s) against a profile database
     (``pyhmmer.hmmscan``, reference ``hmmer/_hmmscan.py:91-230``).
 
@@ -203,7 +203,7 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
         # cutoff scans route through the engine too; the per-model
         # reported/included flags are preserved on the re-keyed hits.
         return iter(_scan_via_engine(hmms, queries, alphabet, background,
-                                     callback, options))
+                                     callback, options, engine))
 
     def gen():
         for q in queries:
@@ -216,14 +216,18 @@ def hmmscan(queries, profiles, *, cpus: int = 0, callback=None,
 
 
 def _scan_via_engine(hmms, queries, alphabet, background, callback,
-                     options):
+                     options, engine=None):
     import copy as _copy
     from ..engine import SearchEngine
     from ..easel.sequence import DigitalSequenceBlock
     from ..plan7.results import TopHits, Hit
 
     block = DigitalSequenceBlock(alphabet, queries)
-    eng = SearchEngine(alphabet, background, **options)
+    # a caller-provided engine keeps its configured-model and bucket
+    # caches across calls -- the serving pattern (one resident profile
+    # DB, many query batches), mirroring the reference's prefetched
+    # OptimizedProfileBlock reuse (hmmer/_hmmscan.py:190-215)
+    eng = engine or SearchEngine(alphabet, background, **options)
     per_hmm = eng.search(hmms, block)
     cutoff_mode = options.get("bit_cutoffs") is not None
 
