@@ -31,9 +31,8 @@ def length_variant(hmm, M_new: int):
     """A valid HMM of ``M_new`` nodes built by tiling the body nodes of
     ``hmm`` (node 0 and the final node keep their special transition
     structure).  Used to give the bench a Pfam-like model-length spread
-    without shipping extra fixtures; evparams are inherited (close
-    enough for filter-gate behavior -- this is a workload generator, not
-    a calibrated model)."""
+    without shipping extra fixtures; evparams start as the parent's and
+    are replaced by the cached calibrated values in load_queries."""
     import copy as _copy
     import numpy as np
     from pyhmmer_tpu.plan7.hmm import HMM
@@ -161,10 +160,11 @@ def bench_hmmscan(queries, targets, runs=3):
             "nhits": sum(len(r.reported) for r in res)}
 
 
-def bench_nhmmer(runs=3, mb=2.0):
+def bench_nhmmer(runs=3, mb=8.0):
     """nhmmer long-targets throughput: bmyD over a synthetic genome with
-    planted copies, both strands (scripts/bench_nhmmer.py workload at a
-    bench-budget size)."""
+    planted copies, both strands -- the same 8 Mb configuration as
+    scripts/bench_nhmmer.py, so the number is comparable to the round-4
+    PARITY_NOTES measurement (2.58 M strand*res/s host cascade)."""
     import io
     from pyhmmer_tpu.plan7 import HMMFile
     from pyhmmer_tpu.easel import SequenceFile
