@@ -143,16 +143,16 @@ _MSA_FORMATS = {"stockholm", "pfam", "afa", "a2m", "clustal", "clustallike",
 class SequenceFile:
     """Iterative reader over a sequence file.
 
-    Supports ``format`` in {fasta, embl, genbank, ddbj, uniprot, daemon}
-    plus every MSA format (delegated to
+    Supports ``format`` in {fasta, embl, genbank, ddbj, uniprot,
+    daemon, ncbi} plus every MSA format (delegated to
     :class:`~pyhmmer_tpu.easel.msafile.MSAFile`, matching reference
     behavior ``easel.pyx:158-169``).  ``daemon`` is the hmmpgmd
-    cached-database layout (header line + FASTA records).  The
-    reference's ``ncbi`` (BLAST database) and ``fmindex`` formats are
-    not implemented: both are binary container formats with no test
-    fixtures in the reference suite (its own coverage never exercises
-    them), and ``fmindex`` is explicitly out of scope (SURVEY.md
-    FM-index row).  ``digital=True`` yields :class:`DigitalSequence`.
+    cached-database layout (header line + FASTA records); ``ncbi``
+    reads BLAST v4 protein volumes (pass the basename or the ``.pin``
+    path; see :mod:`pyhmmer_tpu.easel.ncbi` for the supported subset).
+    The reference's ``fmindex`` format is not implemented (explicitly
+    out of scope, SURVEY.md FM-index row).  ``digital=True`` yields
+    :class:`DigitalSequence`.
     """
 
     def __init__(
@@ -173,10 +173,20 @@ class SequenceFile:
         self._path: Optional[str] = None
         if isinstance(file, (str, os.PathLike)):
             path = os.fspath(file)
-            if not os.path.exists(path):
+            if format and format.lower() == "ncbi":
+                # binary BLAST volume: the basename itself need not
+                # exist, its .pin member must
+                from . import ncbi as _ncbi
+                base = _ncbi._basename(path)
+                if not os.path.exists(base + ".pin"):
+                    raise FileNotFoundError(base + ".pin")
+                self._path = base
+                self.name = base
+            elif not os.path.exists(path):
                 raise FileNotFoundError(path)
-            self._path = path
-            self.name: Optional[str] = path
+            else:
+                self._path = path
+                self.name: Optional[str] = path
         else:
             data = file.read()
             if isinstance(data, bytes):
@@ -267,6 +277,13 @@ class SequenceFile:
                 yield from _parse_embl_like(fh, self.format)
             finally:
                 fh.close()
+        elif self.format == "ncbi":
+            from .ncbi import iter_protein_db
+            if self._path is None:
+                raise ValueError("ncbi format requires a path input")
+            for name, desc, seq in iter_protein_db(self._path):
+                yield TextSequence(name=name, description=desc,
+                                   sequence=seq)
         elif self.format in _MSA_FORMATS:
             from .msafile import MSAFile
             with MSAFile(io.StringIO(self._full_text()),

@@ -69,9 +69,9 @@ TB, TE, TW = 0, 1, 2
 HIGH = jax.lax.Precision.HIGHEST
 
 #: rows tensor slots
-NROWS = 14
+NROWS = 13
 (R_EMM, R_EIM, R_EBM, R_EMI, R_EII, R_EDM, R_BMM, R_BIM, R_BDM, R_BMD,
- R_KM, R_W0, R_M0, R_EMD) = range(NROWS)
+ R_KM, R_M0, R_EMD) = range(NROWS)
 
 
 def _masks(n=5):
@@ -407,7 +407,6 @@ def build_rows_tensors(pb) -> dict:
         nd1[M] = 1.0
         for k in range(M - 1, 0, -1):
             nd1[k] = 1.0 + nd1[k + 1] * eDD[k]
-        rows[i, R_W0, :M] = nd1[1: M + 1]
         m0 = np.ones(M + 1)
         eMD = xexp(tMD)
         for k in range(1, M):
