@@ -352,7 +352,33 @@ class SearchEngine:
         instead): the 2-state scan rides inside the MSV kernel at ~1/Mp
         of its cost, so the bias stage needs no separate device pass and
         the exact f64 host filter only re-checks gate-boundary pairs."""
-        if self.use_pallas and dev.Lmax <= 8192:
+        if (self.use_pallas and dev.Lmax <= 8192
+                and os.environ.get("PYHMMER_TPU_MSV_STACKED", "1") == "1"):
+            # profile-stacked kernel: every row-step carries the whole
+            # chunk's independent DP chains, converting the row-latency-
+            # bound scan into a throughput-bound one (~2.5x measured on
+            # the bench stack; see ops/msv_pallas._msv_body2)
+            from .ops.msv_pallas import (_msv_pallas2, build_msv_tensors2,
+                                         stack_rows)
+            t = build_msv_tensors2(pb, stack_rows(dev.Lmax))
+            Mpk = t["Mpk"]
+            codes = dev.strips(1, min(128, dev.Bpad))
+            bnd = dev.tile_bounds(8, min(128, dev.Bpad))
+            parts = []
+            for (cost_flat, scal2, odds2) in t["groups"]:
+                parts.append(_msv_pallas2(
+                    codes, cost_flat, dev.tjb_row, scal2, bnd,
+                    odds2, dev.p1_row, Mpk))
+            if len(parts) == 1:
+                dx, ovf, biaslog = parts[0]
+            else:
+                dx = jnp.concatenate([p[0] for p in parts], axis=0)
+                ovf = jnp.concatenate([p[1] for p in parts], axis=0)
+                biaslog = jnp.concatenate([p[2] for p in parts], axis=0)
+            if os.environ.get("PYHMMER_TPU_FUSED_BIAS", "1") == "0":
+                return dx[:, : dev.B], ovf[:, : dev.B], None  # A/B knob
+            return dx[:, : dev.B], ovf[:, : dev.B], biaslog[:, : dev.B]
+        elif self.use_pallas and dev.Lmax <= 8192:
             from .ops.msv_pallas import (_msv_pallas, _strip_r,
                                          _lane_tile, build_msv_tensors)
             t = build_msv_tensors(pb)

@@ -233,6 +233,219 @@ def _msv_pallas(codes_strips, cost, tjb, scal, bnd, odds, p1, R, Bt=0):
     return out[:, 0, :], ovf[:, 0, :], biaslog[:, 0, :]
 
 
+def _msv_body2(codes_ref, cost_ref, tjb_ref, scal_ref, bnd_ref, odds_ref,
+               p1_ref, out_ref, ovf_ref, bias_ref, mpv, xj, a0s, a1s,
+               lscs, strts, *, BLK, Mpk):
+    """Profile-STACKED variant of ``_msv_body``: grid ``(nBt,)`` only, with
+    every profile of the stack resident in one FLAT ``[Pg*Mpk, Bt]`` DP
+    state.
+
+    Why: the per-profile kernel's row scan is dependency-latency-bound --
+    each row's ~5 VPU ops on ``[Mp, Bt]`` sit on the serial ``mpv``/``xb``
+    chain, so a (profile, tile) pair costs ``rows x ~0.3us`` regardless of
+    lane count, and the whole stage costs ``P x rows`` row-steps (measured:
+    a 33% element cut via narrower tiles changed nothing).  Stacking makes
+    each row-step carry ``Pg`` independent chains (~40x more work per
+    latency window): 0.72-1.0 s -> ~0.3 s on the bench stack.
+
+    The layout is deliberately FLAT (2-D): the emission gather is then a
+    single tall ``[Pg*Mpk, KP] x [KP, Bt]`` MXU matmul and the roll is one
+    sublane shift (a 3-D ``[Pg, Mpk, Bt]`` state compiled to per-profile
+    skinny matmuls and per-slice shifts -- measured 4x SLOWER than the
+    flat form).  Per-profile E/J/B specials live in ``[Pg, Bt]`` rows;
+    the only segmented ops are a reshape-reduce (``[Pg*Mpk, Bt] ->
+    [Pg, Mpk, Bt]`` max over axis 1) and the entry broadcast back -- both
+    layout no-ops because ``Mpk`` is a multiple of 8 (vreg-aligned).
+    The roll's cross-profile wrap is safe for the same reason as the flat
+    kernel's row-0 wrap: every profile block ends in >= 1 padding row
+    whose ``costb = 255 - bias`` pins its state to 0.
+
+    Per-row semantics are identical to ``_msv_body`` (HMMER uint8 MSV in
+    f32 + fused 2-state bias filter); the bias renormalization happens
+    once per ``BLK``-row block instead of per strip."""
+    L, Bt = codes_ref.shape
+    rows, KP = cost_ref.shape
+    Pg = rows // Mpk
+    base = jnp.float32(190.0)
+    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, Bt), 0)
+    costb = cost_ref[...]                        # [Pg*Mpk, KP] bf16
+    odds = odds_ref[...]                         # [Pg, KP] f32
+    biasv = scal_ref[:, 0:1]                     # [Pg, 1]
+    tecv = scal_ref[:, 1:2]
+    tbmv = scal_ref[:, 2:3]
+    tjb = tjb_ref[0:1, :]                        # [1, Bt]
+    mpv[...] = jnp.zeros((rows, Bt), jnp.float32)
+    xj[...] = jnp.zeros((Pg, Bt), jnp.float32)
+    # carry the small per-profile xb [Pg, Bt]; the [rows, Bt] entry
+    # broadcast is a transient inside the row body (a persistent carry
+    # of it blew the 16 MB scoped-VMEM budget)
+    xb0 = jnp.maximum(base - tjb, 0.0) + jnp.zeros((Pg, Bt), jnp.float32)
+    t00 = p1_ref[0:1, :]                         # [1, Bt]
+    t01 = 1.0 - t00
+    t11 = jnp.float32(50.0 / 51.0)
+    t10 = jnp.float32(1.0 / 51.0)
+    a0s[...] = jnp.ones((Pg, Bt), jnp.float32)
+    a1s[...] = jnp.zeros((Pg, Bt), jnp.float32)
+    lscs[...] = jnp.zeros((Pg, Bt), jnp.float32)
+    strts[...] = jnp.zeros((Pg, Bt), jnp.float32)
+
+    def block(s8, xb):
+        for j in range(BLK):
+            codes_row = codes_ref[pl.ds(s8 * BLK + j, 1), :]    # [1, Bt]
+            onehot = (kcode == codes_row).astype(jnp.bfloat16)  # [KP, Bt]
+            cb = jax.lax.dot_general(
+                costb, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [rows,Bt]
+            ov = jax.lax.dot_general(
+                odds, onehot.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # [Pg, Bt]
+            xbv = jnp.broadcast_to(
+                jnp.maximum(xb - tbmv, 0.0).reshape(Pg, 1, Bt),
+                (Pg, Mpk, Bt)).reshape(rows, Bt)
+            rolled = pltpu.roll(mpv[...], 1, 0)
+            sv = jnp.maximum(jnp.maximum(rolled, xbv) - cb, 0.0)
+            xe = jnp.max(sv.reshape(Pg, Mpk, Bt), axis=1)       # [Pg, Bt]
+            xj[...] = jnp.maximum(xj[...], xe - tecv)
+            mpv[...] = sv
+            xb = jnp.maximum(base, xj[...]) - tjb               # [Pg, Bt]
+            a0, a1 = a0s[...], a1s[...]
+            upd = ov > 0.0
+            first = upd & (strts[...] == 0.0)
+            na0 = jnp.where(first, a0 * 0.999, a0 * t00 + a1 * t10)
+            na1 = jnp.where(first, a0 * 0.001, a0 * t01 + a1 * t11) * ov
+            a0s[...] = jnp.where(upd, na0, a0)
+            a1s[...] = jnp.where(upd, na1, a1)
+            strts[...] = jnp.where(upd, 1.0, strts[...])
+        # per-block renormalization (a0 is 1.0 on never-started lanes);
+        # odds per row are within [~0.3, ~3], so BLK=8 rows grow the
+        # unnormalized mass by at most ~3^8 -- safely inside f32
+        a0, a1 = a0s[...], a1s[...]
+        ssum = a0 + a1
+        lscs[...] = lscs[...] + jnp.log(ssum)
+        inv = 1.0 / ssum
+        a0s[...] = a0 * inv
+        a1s[...] = a1 * inv
+        return xb
+
+    nB_b = jnp.minimum(bnd_ref[0, pl.program_id(0)], L // BLK)
+    jax.lax.fori_loop(0, nB_b, block, xb0)
+    out_ref[...] = xj[...] - base
+    ovf_ref[...] = (xj[...] >= 255.0 - biasv - tecv).astype(jnp.float32)
+    bias_ref[...] = lscs[...]
+
+
+@partial(jax.jit, static_argnames=("BLK", "Bt", "Mpk"))
+def _msv_pallas2(codes, cost, tjb, scal, bnd, odds, p1, Mpk,
+                 BLK=8, Bt=128):
+    """Stacked-profile MSV launcher: codes [L, B] int32 (R=1 layout,
+    nonresidue-padded, L a multiple of BLK); cost [Pg*Mpk, KP_PAD]
+    bfloat16 pre-biased quantized costs (integer-valued, bf16-exact);
+    tjb/p1 [1, B] f32 lane rows; scal [Pg, 8] f32 per-profile
+    (bias, tec, tbm, -...); bnd [1, B/Bt] int32 per-tile bounds in
+    BLK-row blocks; odds [Pg, KP_PAD] f32 bias-filter odds.
+    Returns ((xJ - base), overflow flags, bias log score), each
+    [Pg, B] f32."""
+    rows, KP = cost.shape
+    Pg = rows // Mpk
+    L, B = codes.shape
+    Bt = min(Bt, B)
+    grid = (B // Bt,)
+    out, ovf, biaslog = pl.pallas_call(
+        partial(_msv_body2, BLK=BLK, Mpk=Mpk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, KP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pg, 8), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
+            pl.BlockSpec((Pg, KP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Pg, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pg, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pg, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Pg, B), jnp.float32),
+            jax.ShapeDtypeStruct((Pg, B), jnp.float32),
+            jax.ShapeDtypeStruct((Pg, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Bt), jnp.float32),
+            pltpu.VMEM((Pg, Bt), jnp.float32),
+            pltpu.VMEM((Pg, Bt), jnp.float32),
+            pltpu.VMEM((Pg, Bt), jnp.float32),
+            pltpu.VMEM((Pg, Bt), jnp.float32),
+            pltpu.VMEM((Pg, Bt), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(codes, cost, tjb, scal, bnd, odds, p1)
+    return out, ovf, biaslog
+
+
+#: stacked rows (Pg x Mpk) per kernel: 8192 x 128 lanes x f32 = 4 MB of
+#: DP state -- the deepest stack that compiled AND measured fastest in
+#: the rowcap sweep (4096: 0.45 s, 8192: 0.29 s, >8192: VMEM OOM)
+STACK_ROWS = int(_os.environ.get("PYHMMER_TPU_MSV_ROWS", "8192"))
+
+
+def stack_rows(Lmax: int) -> int:
+    """Stacked-row cap for a bucket: the row body keeps ~5 live
+    [rows, Bt] f32 buffers (state + cb + entry broadcast + roll + sv),
+    ~2.5 KB/row at Bt=128, and long buckets additionally carry a
+    double-buffered [Lmax, Bt] int32 codes block -- so the cap shrinks
+    with Lmax to stay inside the 16 MB scoped-VMEM limit."""
+    if Lmax <= 512:
+        return min(STACK_ROWS, 4608)
+    if Lmax <= 2048:
+        return min(STACK_ROWS, 4096)
+    return min(STACK_ROWS, 2048)
+
+
+def build_msv_tensors2(pb, cap: int) -> dict:
+    """Per-profile-stack tensors for the STACKED Pallas MSV kernel,
+    pre-split into row-capped groups with the group tensors ALREADY on
+    device: slicing/reshaping device arrays per launch costs a ~10 ms
+    dispatch each on tunneled setups and dominated the stage when done
+    inline (measured 2.5 s vs 0.66 s of actual kernel time)."""
+    key = ("msvp2", cap)
+    if key in pb._device_cache:
+        return pb._device_cache[key]
+    t = build_msv_tensors(pb)
+    cost = np.asarray(t["cost"])                     # [P, Mpk, KP] f32
+    scal = np.asarray(t["scal"])                     # [P, 4]
+    odds = np.asarray(t["odds"])                     # [P, 1, KP]
+    P, Mpk, KP = cost.shape
+    scal2 = np.zeros((P, 8), dtype=np.float32)
+    scal2[:, :4] = scal
+    Pg = max(1, cap // Mpk)
+    groups = []
+    for p0 in range(0, P, Pg):
+        sub = cost[p0: p0 + Pg]
+        groups.append((
+            jnp.asarray(sub.reshape(-1, KP).astype(np.float32),
+                        jnp.bfloat16),
+            jnp.asarray(scal2[p0: p0 + Pg]),
+            jnp.asarray(odds[p0: p0 + Pg, 0, :]),
+        ))
+    out = {"groups": groups, "Mpk": Mpk}
+    pb._device_cache[key] = out
+    return out
+
+
 def build_msv_tensors(pb) -> dict:
     """Per-profile-stack quantized cost tensors for the Pallas MSV kernel
     (cached on the ``ProfileBatch``)."""

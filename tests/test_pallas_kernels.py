@@ -112,6 +112,41 @@ def test_msv_pallas_matches_fallback(setup):
     np.testing.assert_array_equal(ovf > 0, ovf2 > 0)
 
 
+def test_msv_pallas_stacked_matches_flat(setup):
+    """The profile-STACKED MSV kernel (grid (nBt,), [Pg, Mpk, Bt] state)
+    must reproduce the flat kernel bit-for-bit: same quantized DP, same
+    overflow flags, same fused bias-filter scores (same math, different
+    schedule)."""
+    aa, pb, dev, codes, lengths = setup
+    from pyhmmer_tpu.ops.msv_pallas import (_msv_pallas, _msv_pallas2,
+                                            _strip_r, build_msv_tensors,
+                                            build_msv_tensors2)
+    t = build_msv_tensors(pb)
+    Bt = 128
+    R = _strip_r(t["cost"].shape[1], Bt)
+    dx, ovf, biaslog = _msv_pallas(dev.strips(R, Bt), t["cost"],
+                                   dev.tjb_row, t["scal"],
+                                   dev.tile_bounds(R, Bt), t["odds"],
+                                   dev.p1_row, R, Bt)
+    # row cap chosen to force >= 2 groups, covering the concatenation path
+    Mpk = build_msv_tensors2(pb, 10 ** 9)["Mpk"]
+    t2 = build_msv_tensors2(pb, max(Mpk, (pb.P // 2) * Mpk))
+    assert len(t2["groups"]) >= 2
+    parts = [_msv_pallas2(dev.strips(1, Bt), cost_flat, dev.tjb_row,
+                          scal2, dev.tile_bounds(8, Bt), odds2,
+                          dev.p1_row, Mpk, Bt=Bt)
+             for (cost_flat, scal2, odds2) in t2["groups"]]
+    dx2 = np.concatenate([np.asarray(p[0]) for p in parts], axis=0)
+    ovf2 = np.concatenate([np.asarray(p[1]) for p in parts], axis=0)
+    bl2 = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
+    np.testing.assert_array_equal(np.asarray(dx), dx2)
+    np.testing.assert_array_equal(np.asarray(ovf) > 0, ovf2 > 0)
+    # bias scores renormalize at different cadences (per strip vs per
+    # 8-row block): identical up to f32 rounding
+    np.testing.assert_allclose(np.asarray(biaslog), bl2,
+                               rtol=0, atol=5e-4)
+
+
 def test_forward_pallas_matches_fallback(setup):
     aa, pb, dev, codes, lengths = setup
     from pyhmmer_tpu.ops import fwd_pallas as FP
