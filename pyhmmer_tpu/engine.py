@@ -433,6 +433,45 @@ class SearchEngine:
         # kernel (the [Mp, Mp] DD-transfer block + double buffering);
         # such chunks are rare and small, so they take the XLA scan
         # kernel instead of shrinking everyone else's tiles
+        if (self.use_pallas and pb.Mp <= 384 and dev.Lmax <= 8192
+                and os.environ.get("PYHMMER_TPU_FWD_STACKED", "1") == "1"):
+            # profile stacking pays where chunks are wide (many small-M
+            # profiles); at Mp > 384 the batched [Pg, Mp, Mp] DD matmul
+            # blows the scoped-VMEM budget and chunks are narrow anyway,
+            # so those keep the per-profile v2 kernel below
+            # profile-stacked Forward (same schedule transformation as
+            # the stacked MSV kernel, see ops/fwd_pallas._fwd3_body)
+            from .ops import fwd_pallas as FP
+            cap = FP.fwd_stack_rows(dev.Lmax)
+            t = FP.build_fwd_tensors3(pb, cap)
+            Mp = t["Mp"]
+            Bp = int(ridx_dev.shape[0])
+            Bt = min(128, Bp)
+            codes_t, lens, lm, bnd1 = _gather_survivors_strips(
+                dev.codes_t, dev.lens_d, ridx_dev, 1, Bt)
+            # ONE host->device upload of the per-(group, tile) bounds
+            # for the whole job (per-group uploads each cost a ~10 ms
+            # dispatch on the tunnel and erased the kernel win)
+            Pg = t["Pg"]
+            if need is not None:
+                bndP = _pt_bounds(need, lens_sel, pb.P, Bp, Bt, 2)
+                G = len(t["groups"])
+                gb = np.zeros((G, bndP.shape[1]), dtype=np.int32)
+                for gi in range(G):
+                    gb[gi] = bndP[gi * Pg: gi * Pg + Pg].max(axis=0)
+                gbnd = jnp.asarray(gb)
+            else:
+                gbnd = jnp.broadcast_to((bnd1 + 1) // 2,
+                                        (len(t["groups"]),
+                                         bnd1.shape[1]))
+            parts = []
+            for gi, (ems, eis, etr, sdd) in enumerate(t["groups"]):
+                parts.append(FP._fwd_pallas3(lens, codes_t, ems, eis,
+                                             etr, sdd, lm, gbnd, Mp,
+                                             Bt, gi))
+            out = (parts[0] if len(parts) == 1
+                   else jnp.concatenate(parts, axis=0))
+            return out, n
         if self.use_pallas and pb.Mp <= 768 and dev.Lmax <= 8192:
             from .ops import fwd_pallas as FP
             from .ops.msv_pallas import _lane_tile

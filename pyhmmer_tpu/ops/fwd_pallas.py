@@ -451,6 +451,209 @@ def _fwd_pallas2(lens, codes_strips, ems, eis, etr, sdd, lm, bnd, R, Bt=0):
     return out[:, 0, :]
 
 
+def _fwd3_body(lens_ref, codes_ref, ems_ref, eis_ref, etr_ref, sdd_ref,
+               lm_ref, bnd_ref, out_ref, mrow, irow, jrow, crow, brow,
+               nrow, lrow, *, Mp, gi):
+    """Profile-STACKED Forward: grid ``(nBt,)``, every profile of the
+    group resident in one FLAT ``[Pg*Mp, Bt]`` odds state (the same
+    schedule transformation as ``msv_pallas._msv_body2``: the
+    per-profile scan is row-latency-bound, stacking makes each row-step
+    carry Pg independent chains).  Differences from the MSV case:
+
+    * the DD-path matmul stays per-profile -- one BATCHED
+      ``[Pg, Mp, Mp] x [Pg, Mp, Bt]`` dot per row (the reshape to 3-D is
+      a layout no-op because Mp is a multiple of 8);
+    * specials (J/C/B/N/logscale) are ``[Pg, Bt]`` rows; E-collection is
+      a segmented weighted SUM-reduce;
+    * the cross-profile roll wrap is killed by the transition weights
+      (flat row 0 of each profile block has eMM/eIM/sdd-col 0), not by
+      padding-row zeroness.
+
+    Per-row math is identical to ``_fwd2_body`` (odds space, rescale to
+    the per-profile row max every 2nd row)."""
+    L, Bt = codes_ref.shape
+    rows, KP = ems_ref.shape
+    Pg = rows // Mp
+
+    kcode = jax.lax.broadcasted_iota(jnp.int32, (KP_PAD, Bt), 0)
+    eMMs = etr_ref[:, 0:1]
+    eIMs = etr_ref[:, 1:2]
+    eBMs = etr_ref[:, 3:4]
+    eMIa = etr_ref[:, 4:5]
+    eIIa = etr_ref[:, 5:6]
+    w_e = etr_ref[:, 6:7]           # 1 + Tdd.sum(axis=1), [rows, 1]
+    ems = ems_ref[...]              # [rows, KP] bf16
+    eis = eis_ref[...]
+    sdd3 = sdd_ref[...]             # [Pg, Mp, Mp] bf16
+
+    loop_o = lm_ref[0:1, :]
+    move_o = lm_ref[1:2, :]
+    log_move = lm_ref[3:4, :]
+    lens = lens_ref[0:1, :]
+
+    mrow[...] = jnp.zeros((rows, Bt), jnp.float32)
+    irow[...] = jnp.zeros((rows, Bt), jnp.float32)
+    jrow[...] = jnp.zeros((Pg, Bt), jnp.float32)
+    crow[...] = jnp.zeros((Pg, Bt), jnp.float32)
+    brow[...] = jnp.zeros((Pg, Bt), jnp.float32) + move_o
+    nrow[...] = jnp.ones((Pg, Bt), jnp.float32)
+    lrow[...] = jnp.zeros((Pg, Bt), jnp.float32)
+
+    def block(s2, _):
+        for jr in range(2):
+            i = s2 * 2 + jr
+            codes_row = codes_ref[pl.ds(i, 1), :]               # [1, Bt]
+            onehot = (kcode == codes_row).astype(jnp.bfloat16)  # [KP, Bt]
+            ms = jax.lax.dot_general(
+                ems, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [rows,Bt]
+            is_ = jax.lax.dot_general(
+                eis, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            j_ = jrow[...]
+            c_ = crow[...]
+            b_ = brow[...]
+            n_ = nrow[...]
+            logscale = lrow[...]
+            prev_m = mrow[...]
+            prev_i = irow[...]
+            ddp = jax.lax.dot_general(
+                sdd3, prev_m.astype(jnp.bfloat16).reshape(Pg, Mp, Bt),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).reshape(rows, Bt)
+            rm = pltpu.roll(prev_m, 1, 0)
+            ri = pltpu.roll(prev_i, 1, 0)
+            bb = jnp.broadcast_to(b_.reshape(Pg, 1, Bt),
+                                  (Pg, Mp, Bt)).reshape(rows, Bt)
+            nm = ms * (rm * eMMs + ri * eIMs + ddp + bb * eBMs)
+            ni = is_ * (prev_m * eMIa + prev_i * eIIa)
+            e = jnp.sum((nm * w_e).reshape(Pg, Mp, Bt), axis=1)  # [Pg,Bt]
+            nj = j_ * loop_o + e * 0.5
+            nc = c_ * loop_o + e * 0.5
+            nn = n_ * loop_o
+            nb = (nn + nj) * move_o
+            valid = lens > i                                     # [1, Bt]
+            if jr == 1:
+                # rescale on every 2nd row (same cadence + semantics as
+                # _fwd2_body: per-profile row max, exact log bookkeeping)
+                mx = jnp.maximum(
+                    jnp.max(nm.reshape(Pg, Mp, Bt), axis=1),
+                    jnp.maximum(nj, nc))
+                mx = jnp.maximum(mx, TINY)
+                inv = jnp.where(valid, 1.0 / mx, 1.0)
+                lrow[...] = jnp.where(valid, logscale + jnp.log(mx),
+                                      logscale)
+                jrow[...] = jnp.where(valid, nj * inv, j_)
+                crow[...] = jnp.where(valid, nc * inv, c_)
+                brow[...] = jnp.where(valid, nb * inv, b_)
+                nrow[...] = jnp.where(valid, nn * inv, n_)
+                invb = jnp.broadcast_to(inv.reshape(Pg, 1, Bt),
+                                        (Pg, Mp, Bt)).reshape(rows, Bt)
+                mrow[...] = nm * invb
+                irow[...] = ni * invb
+            else:
+                jrow[...] = jnp.where(valid, nj, j_)
+                crow[...] = jnp.where(valid, nc, c_)
+                brow[...] = jnp.where(valid, nb, b_)
+                nrow[...] = jnp.where(valid, nn, n_)
+                # dead lanes have ms = 0 (nonresidue emission odds)
+                mrow[...] = nm
+                irow[...] = ni
+        return 0
+
+    nB_b = jnp.minimum(bnd_ref[gi, pl.program_id(0)], L // 2)
+    jax.lax.fori_loop(0, nB_b, block, 0)
+    c_ = crow[...]
+    score = jnp.where(c_ > 0.0,
+                      jnp.log(jnp.maximum(c_, TINY)) + lrow[...]
+                      + log_move,
+                      NEGMASS)
+    out_ref[...] = score
+
+
+@partial(jax.jit, static_argnames=("Mp", "Bt", "gi"))
+def _fwd_pallas3(lens, codes_t, ems, eis, etr, sdd, lm, bnd, Mp, Bt=128,
+                 gi=0):
+    """Stacked-profile Forward launcher: lens [1, B] i32; codes_t [L, B]
+    i32 (L a multiple of 2, nonresidue-padded); ems/eis [Pg*Mp, KP_PAD]
+    bf16 flat odds; etr [Pg*Mp, 8] f32 flat transitions; sdd
+    [Pg, Mp, Mp] bf16; lm [4, B] f32; bnd [1, B/Bt] i32 per-tile bounds
+    in 2-row blocks.  Returns scores [Pg, B] f32 nats."""
+    rows, KP = ems.shape
+    Pg = rows // Mp
+    L, B = codes_t.shape
+    Bt = min(Bt, B)
+    out = pl.pallas_call(
+        partial(_fwd3_body, Mp=Mp, gi=gi),
+        grid=(B // Bt,),
+        in_specs=[
+            pl.BlockSpec((1, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, KP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, KP), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 8), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pg, Mp, Mp), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Bt), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bnd [1, nBt], full
+        ],
+        out_specs=pl.BlockSpec((Pg, Bt), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pg, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Bt), jnp.float32),
+            pltpu.VMEM((rows, Bt), jnp.float32),
+        ] + [pltpu.VMEM((rows // Mp, Bt), jnp.float32)] * 5,
+        interpret=_INTERPRET,
+    )(lens, codes_t, ems, eis, etr, sdd, lm, bnd)
+    return out
+
+
+def fwd_stack_rows(Lmax: int) -> int:
+    """Stacked-row cap for the Forward kernel: ~10 live [rows, Bt] f32
+    buffers per row step (two state planes + emission/DD/roll/broadcast
+    temporaries) plus the double-buffered codes block."""
+    if Lmax <= 512:
+        return 1536
+    if Lmax <= 2048:
+        return 1152
+    return 576
+
+
+def build_fwd_tensors3(pb, cap: int) -> dict:
+    """Per-group flat tensors for the STACKED Forward kernel, pre-split
+    and uploaded once (same rationale as ``build_msv_tensors2``)."""
+    key = ("fwdp3", cap)
+    if key in pb._device_cache:
+        return pb._device_cache[key]
+    t1 = build_fwd_tensors(pb)
+    t2 = build_fwd_tensors2(pb)
+    P, Mp = pb.P, t1["Mp"]
+    ems = np.asarray(t1["ems"])                     # [P, Mp, KP] f32
+    eis = np.asarray(t1["eis"])
+    etr2 = np.asarray(t2["etr2"])                   # [P, Mp, 8]
+    sdd = np.asarray(t2["sdd"])                     # [P, Mp, Mp] bf16
+    Pg = max(1, cap // Mp)
+    groups = []
+    for p0 in range(0, P, Pg):
+        n = min(Pg, P - p0)
+        groups.append((
+            jnp.asarray(ems[p0:p0 + n].reshape(-1, KP_PAD), jnp.bfloat16),
+            jnp.asarray(eis[p0:p0 + n].reshape(-1, KP_PAD), jnp.bfloat16),
+            jnp.asarray(etr2[p0:p0 + n].reshape(-1, 8)),
+            jnp.asarray(sdd[p0:p0 + n]),
+        ))
+    out = {"groups": groups, "Mp": Mp, "Pg": Pg}
+    pb._device_cache[key] = out
+    return out
+
+
 def build_fwd_tensors2(pb) -> dict:
     """v2 tensors: v1 tensors + the pre-shifted eDM-scaled DD transfer
     matrix Sdd[j, k] = eDM[k] * Tdd[j, k-1] (so the per-row DD-path

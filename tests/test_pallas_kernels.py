@@ -179,6 +179,47 @@ def test_forward_pallas_matches_fallback(setup):
     assert d.max() < 2e-2, d.max()
 
 
+def test_forward_pallas_stacked_matches_v2(setup):
+    """The profile-STACKED Forward kernel must agree with the v2
+    per-profile kernel to f32 rounding (same odds-space math, same
+    per-profile rescale cadence, different schedule)."""
+    aa, pb, dev, codes, lengths = setup
+    from pyhmmer_tpu.ops import fwd_pallas as FP
+    from pyhmmer_tpu import engine as E
+
+    Bp = dev.Bpad
+    ridx = np.full(Bp, -1, dtype=np.int32)
+    ridx[: dev.B] = np.arange(dev.B)
+    t = FP.build_fwd_tensors2(pb)
+    Bt = 128
+    R = FP._strip_r_fwd(t["Mp"], Bt)
+    strips, lens, lm, bnd = E._gather_survivors_strips(
+        dev.codes_t, dev.lens_d, jnp.asarray(ridx), R, Bt)
+    ref = np.asarray(FP._fwd_pallas2(lens, strips, t["ems"], t["eis"],
+                                     t["etr2"], t["sdd"], lm, bnd, R,
+                                     Bt))
+
+    # stacked: row cap forcing >= 2 groups
+    Mp = t["Mp"]
+    t3 = FP.build_fwd_tensors3(pb, max(Mp, (pb.P // 2) * Mp))
+    assert len(t3["groups"]) >= 2
+    codes_t, lens1, lm1, bnd1 = E._gather_survivors_strips(
+        dev.codes_t, dev.lens_d, jnp.asarray(ridx), 1, Bt)
+    g_bnd = (bnd1 + 1) // 2
+    parts = [np.asarray(FP._fwd_pallas3(lens1, codes_t, ems, eis, etr,
+                                        sdd, lm1, g_bnd, Mp, Bt))
+             for (ems, eis, etr, sdd) in t3["groups"]]
+    out = np.concatenate(parts, axis=0)
+
+    live = ref[:, : dev.B] > -1e29
+    d = np.abs(out[:, : dev.B] - ref[:, : dev.B])[live]
+    # f32 accumulation-order wobble only: absolute for ordinary scores
+    # plus a relative term for the consensus-repeat giants (hundreds of
+    # nats); both are far inside the engine's ~0.4-nat gate margin
+    tol = 2e-2 + 2e-4 * np.abs(ref[:, : dev.B])[live]
+    assert (d < tol).all(), (d - tol).max()
+
+
 def test_viterbi_pallas_matches_fallback(setup):
     aa, pb, dev, codes, lengths = setup
     from pyhmmer_tpu.ops import vit_pallas as VP
