@@ -1398,6 +1398,11 @@ int32_t stotrace_odds(
         pB[i2] = p0_of(xNv[i2] + xN[1], xJv[i2] + xJ[1]);
     }
     int nspans = 0;
+    for (int kk = 0; kk < W; kk++) { uM[kk] = 0; uI[kk] = 0; }
+    int kmin = W, kmax = 0;   // used-k range of the CURRENT span: the
+    // null2 usage dots and the zeroing pass then touch only the states
+    // the sampled domain actually visited instead of all M (spans
+    // typically cover a fraction of the model)
 
     for (int s = 0; s < nsamples; s++) {
         int state = 0;  // 0=C 1=E 2=M 3=D 4=I 5=B 6=J 7=N
@@ -1411,7 +1416,10 @@ int32_t stotrace_odds(
                 else state = 1;
             } else if (state == 1) {   // E: odds row i, exp-free
                 end_i = i;
-                for (int kk = 0; kk < W; kk++) { uM[kk] = 0; uI[kk] = 0; }
+                for (int kk = kmin; kk <= kmax; kk++) {
+                    uM[kk] = 0; uI[kk] = 0;
+                }
+                kmin = W; kmax = 0;
                 const float* Mr = Mm + (size_t)i * W;
                 for (int kk = 1; kk <= M; kk++) lp[kk - 1] = Mr[kk];
                 lp[M] = Dm[(size_t)i * W + M];
@@ -1420,6 +1428,8 @@ int32_t stotrace_odds(
                 else { state = 2; k = c + 1; }
             } else if (state == 2) {   // M
                 uM[k] += 1;
+                if (k < kmin) kmin = k;
+                if (k > kmax) kmax = k;
                 const size_t om1 = (size_t)(i - 1) * W;
                 double o[4];
                 o[0] = k >= 2 ? Mm[om1 + k - 1] * P.eMM[k - 1] : 0.0;
@@ -1436,18 +1446,22 @@ int32_t stotrace_odds(
                         nspans++;
                     }
                     double tot = 0;
-                    for (int kk = 0; kk <= M; kk++) tot += uM[kk] + uI[kk];
+                    for (int kk = kmin; kk <= kmax; kk++)
+                        tot += uM[kk] + uI[kk];
+                    const int k0 = kmin > 1 ? kmin : 1;
                     if (tot > 0) {
                         // hoist the per-position M-dot into one table per
                         // residue type (identical sums, ~7x fewer ops:
                         // K x M instead of span_len x M), and take the
-                        // log once per TYPE instead of once per position
+                        // log once per TYPE instead of once per position;
+                        // the k loop covers only [kmin, kmax] -- usage
+                        // counts outside the span's visited states are 0
                         double lcorex[64];
                         for (int x = 0; x < K; x++) {
                             double v = 0;
                             const double* om_ = odds_m + (size_t)x * W;
                             const double* oi_ = odds_i + (size_t)x * W;
-                            for (int kk = 1; kk <= M; kk++)
+                            for (int kk = k0; kk <= kmax; kk++)
                                 v += uM[kk] * om_[kk] + uI[kk] * oi_[kk];
                             v /= tot;
                             lcorex[x] = v > 1e-30 ? std::log(v) : -69.0;
@@ -1471,6 +1485,8 @@ int32_t stotrace_odds(
                 else k--;
             } else if (state == 4) {   // I: odds row i-1
                 uI[k] += 1;
+                if (k < kmin) kmin = k;
+                if (k > kmax) kmax = k;
                 const size_t om1 = (size_t)(i - 1) * W;
                 double w0 = Mm[om1 + k] * P.eMI[k];
                 double w1 = Im[om1 + k] * P.eII[k];
