@@ -352,7 +352,9 @@ class SearchEngine:
         instead): the 2-state scan rides inside the MSV kernel at ~1/Mp
         of its cost, so the bias stage needs no separate device pass and
         the exact f64 host filter only re-checks gate-boundary pairs."""
+        from .ops.msv_pallas import stack_rows as _stack_rows
         if (self.use_pallas and dev.Lmax <= 8192
+                and pb.Mp <= _stack_rows(dev.Lmax)
                 and os.environ.get("PYHMMER_TPU_MSV_STACKED", "1") == "1"):
             # profile-stacked kernel: every row-step carries the whole
             # chunk's independent DP chains, converting the row-latency-
